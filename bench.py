@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: kNN + rigid-fit registration throughput on TPU.
+
+Times the registration core every pipeline rides — exact 1-NN matching of a
+1M-point epoch pair plus the piecewise cell-centroid displacement solve
+(grid binning, per-cell centroids, centroid kNN, stable/unstable classify) —
+and reports Mpoints/sec.
+
+``vs_baseline`` is measured, not assumed: the same 1-NN workload through
+scipy's cKDTree on this host's CPU (the reference's neighbour searches run on
+CPU kd-trees/HNSW — utils baseline), extrapolated from a subsample.
+
+Prints exactly one JSON line.
+Env: BENCH_N (default 1_000_000 points per epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synth_epoch_pair(n: int):
+    rng = np.random.default_rng(0)
+    extent = float(np.sqrt(n / 100.0))  # ~100 pts / m^2
+    xy = rng.uniform(0, extent, size=(n, 2))
+    z = (
+        np.sin(xy[:, 0] * 0.31) * 2.0
+        + np.cos(xy[:, 1] * 0.17) * 3.0
+        + rng.normal(scale=0.02, size=n)
+    )
+    src = np.column_stack([xy, z]).astype(np.float32)
+    tgt = src + np.array([0.05, -0.02, 0.01], np.float32)
+    return src, tgt, extent
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    src, tgt, extent = synth_epoch_pair(n)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fusion4landslide_tpu.ops.knn import nn1
+    from fusion4landslide_tpu.pipelines.piecewise_icp import piecewise_icp_core
+
+    s = jax.device_put(jnp.asarray(src))
+    t = jax.device_put(jnp.asarray(tgt))
+    ones = jnp.ones((n,), bool)
+    smax = max(extent / 16.0, 1.0)
+
+    def workload():
+        d, idx = nn1(s, t)
+        res = piecewise_icp_core(s, t, ones, ones, smax, 10)
+        return d, res.displacement
+
+    # Warmup/compile.
+    d, disp = workload()
+    d.block_until_ready()
+    disp.block_until_ready()
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d, disp = workload()
+        d.block_until_ready()
+        disp.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    mpts = n / best / 1e6
+
+    # CPU baseline: cKDTree 1-NN on a subsample, extrapolated.
+    from scipy.spatial import cKDTree
+
+    m = min(n, 200_000)
+    tree_t0 = time.perf_counter()
+    tree = cKDTree(tgt)
+    tree_build = time.perf_counter() - tree_t0
+    q0 = time.perf_counter()
+    tree.query(src[:m], k=1)
+    cpu_query = (time.perf_counter() - q0) * (n / m)
+    cpu_total = tree_build + cpu_query
+    cpu_mpts = n / cpu_total / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "knn_registration_throughput",
+                "value": round(mpts, 3),
+                "unit": "Mpts/s",
+                "vs_baseline": round(mpts / cpu_mpts, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Boundary-preserving supervoxel segmentation (VCCS metric) on TPU.
+
+Capability parity with the native core the reference calls per tile
+(cpp_core/supervoxel_segmentation/supervoxel.cpp:83-143 +
+codelibrary/geometry/point_cloud/supervoxel_segmentation.h:66-265, the method
+of Lin et al. 2018 "Toward better boundary preserved supervoxel segmentation
+for 3D point clouds"):
+
+- VCCS metric d(p, q) = 1 - |n_p · n_q| + 0.4 * ||p - q|| / R
+  (supervoxel.cpp:27-40),
+- expected supervoxel count = number of occupied grid cells at resolution R
+  (supervoxel_segmentation.h:254-264),
+- the reference then greedily fuses a disjoint-set with doubling lambda
+  (sequential, supervoxel_segmentation.h:113-175) and finishes with
+  queue-based boundary refinement — points swap to a neighbouring label when
+  the VCCS distance to that label's representative is smaller
+  (supervoxel_segmentation.h:209-237).
+
+TPU re-design: the greedy fusion is inherently sequential, but its *fixed
+point* is characterised by the refinement rule. So we seed one supervoxel per
+occupied grid cell (the point nearest the cell centroid) and run the
+refinement rule itself as data-parallel label propagation over the kNN graph
+for a fixed number of sweeps: every point adopts the neighbouring label whose
+seed is VCCS-closest. Each sweep is a batched gather + reduction; quality is
+governed by the same rule that dominates the reference's final labels.
+Partitions match up to relabelling/boundary tolerance (the downstream
+pipelines only consume label *groups*).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fusion4landslide_tpu.ops.knn import knn
+from fusion4landslide_tpu.ops.normals import pca_normals
+from fusion4landslide_tpu.ops.voxel import grid_cells, group_by_cells
+
+__all__ = ["supervoxel_segmentation", "SupervoxelResult"]
+
+
+class SupervoxelResult(NamedTuple):
+    labels: jax.Array  # (n,) supervoxel id per point (0..n_supervoxels-1)
+    n_supervoxels: jax.Array  # ()
+    seed_idx: jax.Array  # (n,) padded: point index of each seed
+    normals: jax.Array  # (n, 3)
+
+
+def _vccs(p, n_p, q, n_q, resolution):
+    """VCCS distance between point/normal pairs (supervoxel.cpp:32-36)."""
+    d = jnp.linalg.norm(p - q, axis=-1)
+    return 1.0 - jnp.abs(jnp.sum(n_p * n_q, axis=-1)) + d / resolution * 0.4
+
+
+@functools.partial(jax.jit, static_argnames=("k_neighbors", "num_sweeps"))
+def supervoxel_segmentation(
+    points: jax.Array,
+    resolution: jax.Array | float,
+    mask: jax.Array | None = None,
+    *,
+    k_neighbors: int = 15,
+    num_sweeps: int = 24,
+) -> SupervoxelResult:
+    """Segment a point cloud into supervoxels of roughly ``resolution`` size.
+
+    Args:
+        points: (n, 3), mean-centred float32.
+        resolution: target supervoxel radius R (the reference uses
+            max(sqrt(3)*10*median_res, voxel), f2s3.py:183-186).
+        mask: (n,) validity of padded rows.
+        k_neighbors: kNN graph degree (reference default 15 in
+            supervoxel.cpp:150; the pipelines pass ``n_normals``=30).
+        num_sweeps: label-propagation sweeps (bounded-iteration replacement
+            for the reference's convergence queue).
+
+    Returns:
+        :class:`SupervoxelResult` — labels are compacted to 0..K-1; masked
+        points get label n-1 (by convention they sort to padding groups).
+    """
+    n = points.shape[0]
+    valid = jnp.ones((n,), bool) if mask is None else mask.astype(bool)
+
+    # kNN graph, reused for normals and propagation.
+    sqd, neigh_idx = knn(points, points, k_neighbors, valid)
+    neigh_mask = jnp.isfinite(sqd)
+    normals = pca_normals(
+        points, k_neighbors, valid, neigh_idx=neigh_idx, neigh_mask=neigh_mask
+    )
+
+    # --- Seeds: one per occupied grid cell at the target resolution
+    # (supervoxel_segmentation.h:254-264). Seed point = nearest to centroid.
+    big = jnp.asarray(jnp.inf, points.dtype)
+    origin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    cells = grid_cells(points, resolution, origin)
+    p2cell, n_cells, _ = group_by_cells(cells, valid)
+    w = valid.astype(points.dtype)
+    counts = jax.ops.segment_sum(w, p2cell, num_segments=n)
+    sums = jax.ops.segment_sum(points * w[:, None], p2cell, num_segments=n)
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    # Per-cell argmin distance-to-centroid via segment_min over encoded keys.
+    d2c = jnp.linalg.norm(points - jnp.take(centroids, p2cell, axis=0), axis=-1)
+    d2c = jnp.where(valid, d2c, jnp.inf)
+    order = jnp.argsort(d2c)  # nearest-to-centroid first
+    # seed_idx[cell] = first point (in d2c order) belonging to that cell.
+    seed_of_cell = jnp.full((n,), n - 1, jnp.int32)
+    # Reverse iteration ensures the *smallest* d2c wins the scatter.
+    seed_of_cell = seed_of_cell.at[p2cell[order[::-1]]].set(
+        order[::-1].astype(jnp.int32)
+    )
+
+    seed_pos = jnp.take(points, seed_of_cell, axis=0)  # (n, 3) padded
+    seed_nrm = jnp.take(normals, seed_of_cell, axis=0)
+
+    # --- Initial labels: VCCS-nearest seed among {own cell, neighbours' cells}
+    # is reached by propagation itself; start from own cell.
+    labels = p2cell.astype(jnp.int32)
+    labels = jnp.where(valid, labels, n - 1)
+
+    def cost_to(label, pi_pos, pi_nrm):
+        return _vccs(
+            pi_pos,
+            pi_nrm,
+            jnp.take(seed_pos, label, axis=0),
+            jnp.take(seed_nrm, label, axis=0),
+            resolution,
+        )
+
+    def sweep(labels, _):
+        # Candidate labels: own + each neighbour's current label.
+        neigh_labels = jnp.take(labels, neigh_idx, axis=0)  # (n, k)
+        cand = jnp.concatenate([labels[:, None], neigh_labels], axis=1)
+        cand_seed_pos = jnp.take(seed_pos, cand, axis=0)  # (n, k+1, 3)
+        cand_seed_nrm = jnp.take(seed_nrm, cand, axis=0)
+        cost = _vccs(
+            points[:, None, :],
+            normals[:, None, :],
+            cand_seed_pos,
+            cand_seed_nrm,
+            resolution,
+        )
+        cand_ok = jnp.concatenate(
+            [jnp.ones((n, 1), bool), neigh_mask], axis=1
+        ) & (cand < n_cells)[..., 0:].reshape(n, -1)
+        cost = jnp.where(cand_ok, cost, jnp.inf)
+        best = jnp.argmin(cost, axis=1)
+        new_labels = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        new_labels = jnp.where(valid, new_labels, n - 1)
+        return new_labels, None
+
+    labels, _ = jax.lax.scan(sweep, labels, None, length=num_sweeps)
+
+    # --- Compact labels to 0..K-1 (supervoxel_segmentation.h:239-247).
+    used = jnp.zeros((n,), jnp.int32).at[labels].max(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    remap = jnp.cumsum(used) - 1
+    labels = jnp.where(valid, jnp.take(remap, labels), -1)
+    n_spv = jnp.sum(used)
+    return SupervoxelResult(
+        labels=labels,
+        n_supervoxels=n_spv,
+        seed_idx=seed_of_cell,
+        normals=normals,
+    )

@@ -1,0 +1,89 @@
+"""Shared CLI-driver plumbing for the four method entry points.
+
+Mirrors the per-driver boilerplate of the reference (main_piecewise_icp.py:
+20-102 and siblings): config → output dirs → logger → tile the epochs if no
+tiles exist → enumerate tile files. Kept here once instead of four copies.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import os.path as osp
+import re
+import time
+
+from fusion4landslide_tpu.config import Config, load_yaml
+from fusion4landslide_tpu.utils.logging import get_logger
+
+__all__ = ["setup_run", "ensure_tiles", "list_tiles", "log_config"]
+
+
+def setup_run(config_path: str, method: str, keep_sub_directory: bool = False):
+    """Load config, create output/log dirs, return (cfg, logger)."""
+    cfg = load_yaml(config_path, keep_sub_directory=keep_sub_directory)
+    cfg.output_root = osp.join(cfg.output_dir, cfg.get("output_folder", "run"))
+    log_dir = osp.join(cfg.output_root, "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = get_logger(f"fusion4landslide_tpu.{method}", log_dir)
+    cfg.tile_dir = osp.join(cfg.output_root, "tiled_data")
+    return cfg, logger
+
+
+def log_config(cfg: Config, logger) -> None:
+    logger.info("-" * 70)
+    msg = "Config:\n" + "\n".join(
+        f"{k}={v}" for k, v in cfg.items() if not isinstance(v, Config)
+    )
+    logger.info(msg)
+    logger.info("-" * 70)
+
+
+def ensure_tiles(cfg: Config, logger) -> None:
+    """Tile the raw epoch pair unless ``tile_dir`` already has tiles
+    (artifact-level resume, main_piecewise_icp.py:60-75)."""
+    from fusion4landslide_tpu.tiling import tile_point_clouds
+
+    os.makedirs(cfg.tile_dir, exist_ok=True)
+    if any(os.listdir(cfg.tile_dir)):
+        logger.info("Skip tiling; tiles loaded from %s", cfg.tile_dir)
+        return
+    data_dir = cfg.get("input_root") or cfg.get("data_dir")
+    src_name = cfg.get("src_pcd") or cfg.get("src_name")
+    tgt_name = cfg.get("tgt_pcd") or cfg.get("tgt_name")
+    src_path = osp.join(data_dir, "raw_pcd", src_name)
+    if not osp.exists(src_path):
+        src_path = osp.join(data_dir, src_name)
+    tgt_path = osp.join(data_dir, "raw_pcd", tgt_name)
+    if not osp.exists(tgt_path):
+        tgt_path = osp.join(data_dir, tgt_name)
+    voxel = float(cfg.get("voxel_size", cfg.get("voxel_size_init", 0.0)) or 0.0)
+    t0 = time.time()
+    n = tile_point_clouds(
+        src_path,
+        tgt_path,
+        int(cfg.max_pts_per_tile),
+        int(cfg.min_pts_per_tile),
+        bool(voxel),
+        voxel,
+        0.0,
+        -1,
+        cfg.tile_dir,
+        verbose=bool(cfg.get("verbose", True)),
+    )
+    logger.info("Tiled into %d tiles in %.1fs", n, time.time() - t0)
+
+
+def list_tiles(cfg: Config, overlap: bool = True) -> list[tuple[str, str, str]]:
+    """Sorted [(tile_id, src_path, tgt_path)] from the tile directory."""
+    sub = "overlap" if overlap else "non_overlap"
+    pattern = osp.join(cfg.tile_dir, sub, "source_tile_*")
+    paths = sorted(
+        glob.glob(pattern),
+        key=lambda x: int(re.search(r"\d+", osp.basename(x)).group()),
+    )
+    out = []
+    for p in paths:
+        tid = re.findall(r"\d+", osp.basename(p))[0]
+        out.append((tid, p, p.replace("source_tile_", "target_tile_")))
+    return out

@@ -1,0 +1,387 @@
+"""F2S3 pipeline: learned per-point descriptors + feature-space kNN +
+supervoxel-wise learned outlier filtering.
+
+Capability parity with the reference ``Deformation_Analyze``
+(src/f2s3.py:19-507, driven by main_f2s3.py:26-114):
+
+1. ``compute_features`` (f2s3.py:91-154): DIPs descriptors over LRF patches,
+   radius = sqrt(3)·10·median_resolution,
+2. ``implement_segmentation`` (f2s3.py:166-238): supervoxels at radius
+   max(sqrt(3)·10·res, voxel) (0.1 for the rockfall dataset), small patches
+   (<= 10 points) removed,
+3. ``correspondence_searching`` (f2s3.py:248-298): 1-NN in 64-d feature
+   space (reference: hnswlib approximate; here exact blocked kNN on MXU),
+4. ``correspondence_pruning`` (f2s3.py:321-479): per supervoxel, the
+   FilteringNetwork scores correspondences; a robust Kabsch re-fit replaces
+   target coordinates when it converges, else only scores > 0.99999 survive;
+   then the max-magnitude gate, the 30x-median magnitude filter and the
+   C2C gap fill.
+
+TPU re-design highlights:
+- features: one batched LRF + PointNet sweep (the reference uses 8 CPU
+  DataLoader workers + per-batch GPU hops, f2s3.py:116-131),
+- the per-supervoxel Python loop (f2s3.py:340-366) becomes a vmapped
+  filter over a dense (S, P) member table; S is chunked via lax.map to
+  bound memory,
+- every stage is a pure function of padded fixed-shape arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion4landslide_tpu.models.dips import PointNetFeature
+from fusion4landslide_tpu.models.filtering import FilteringNetwork
+from fusion4landslide_tpu.ops.knn import knn, median_nn_distance, nn1
+from fusion4landslide_tpu.ops.lrf import extract_lrf_patches
+from fusion4landslide_tpu.ops.kabsch import transform_points, weighted_kabsch
+from fusion4landslide_tpu.ops.segments import bucket_size, label_members
+from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
+
+__all__ = [
+    "compute_dips_features",
+    "prune_supervoxel_correspondences",
+    "run_f2s3_tile",
+]
+
+
+def compute_dips_features(
+    dips_params,
+    core_pts: jax.Array,
+    halo_pts: jax.Array,
+    radius,
+    key,
+    *,
+    k_max: int = 512,
+    patch_points: int = 256,
+    chunk: int = 2048,
+    halo_mask: jax.Array | None = None,
+    model: PointNetFeature | None = None,
+) -> jax.Array:
+    """(n, 64) DIPs descriptors for every core point.
+
+    Patches come from the halo cloud (f2s3.py:111-114 passes the overlap
+    cloud as neighbourhood source). Work is chunked over query points.
+    """
+    model = model or PointNetFeature()
+    n = core_pts.shape[0]
+    pad = (-n) % chunk
+    q = jnp.pad(core_pts, ((0, pad), (0, 0)))
+    n_chunks = q.shape[0] // chunk
+    keys = jax.random.split(key, n_chunks)
+
+    @jax.jit
+    def one(args):
+        qc, k = args
+        patches = extract_lrf_patches(
+            qc,
+            halo_pts,
+            radius,
+            k,
+            k_max=k_max,
+            num_points=patch_points,
+            support_mask=halo_mask,
+        )
+        return model.apply(dips_params, patches)
+
+    feats = jax.lax.map(one, (q.reshape(n_chunks, chunk, 3), keys))
+    return feats.reshape(-1, feats.shape[-1])[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_layers", "s_chunk", "rockfall")
+)
+def _filter_buckets(
+    filt_params,
+    corr: jax.Array,  # (S, P, 6)
+    mask: jax.Array,  # (S, P)
+    *,
+    num_layers: int = 12,
+    s_chunk: int = 64,
+    rockfall: bool = False,
+):
+    """Vmapped FilteringNetwork + robust Kabsch re-fit over supervoxel
+    buckets; chunked over S to bound the (S, P, 128) activations."""
+    model = FilteringNetwork(num_layers=num_layers)
+    S, P, _ = corr.shape
+
+    def one(args):
+        c, m = args  # (s_chunk, P, 6), (s_chunk, P)
+
+        def single(ci, mi):
+            scale = jnp.maximum(
+                jnp.max(jnp.where(mi[:, None], jnp.abs(ci), 0.0)), 1e-12
+            )
+            scores = model.apply(filt_params, ci / scale, mi)
+            x1, x2 = ci[:, :3], ci[:, 3:6]
+            R, t, res, _ = weighted_kabsch(x1, x2, scores, mask=mi)
+            coeff = 2.5 if rockfall else 1.0
+            big = jnp.asarray(jnp.inf, res.dtype)
+            rs = jnp.sort(jnp.where(mi, res, big))
+            cnt = jnp.sum(mi)
+            med = rs[jnp.maximum((cnt - 1) // 2, 0)]
+            inlier = mi & (res < coeff * med)
+            robust = (jnp.sum(inlier) >= 5) & (med < 0.5)
+            R2, t2, _, _ = weighted_kabsch(
+                x1, x2, inlier.astype(ci.dtype), mask=mi
+            )
+            R = jnp.where(robust, R2, R)
+            t = jnp.where(robust, t2, t)
+            # Robust path: replace target with the rigid prediction for all
+            # points of the supervoxel and keep them all (f2s3.py:351-361);
+            # else keep score > 0.99999 (f2s3.py:363).
+            pred = transform_points(x1, R, t)
+            new_tgt = jnp.where(robust, pred, x2)
+            keep = jnp.where(robust, mi, mi & (scores > 0.99999))
+            return new_tgt, keep, scores, robust
+
+        return jax.vmap(single)(c, m)
+
+    pad = (-S) % s_chunk
+    corr_p = jnp.pad(corr, ((0, pad), (0, 0), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, pad), (0, 0)))
+    nc = corr_p.shape[0] // s_chunk
+    new_tgt, keep, scores, robust = jax.lax.map(
+        one,
+        (
+            corr_p.reshape(nc, s_chunk, P, 6),
+            mask_p.reshape(nc, s_chunk, P),
+        ),
+    )
+    return (
+        new_tgt.reshape(-1, P, 3)[:S],
+        keep.reshape(-1, P)[:S],
+        scores.reshape(-1, P)[:S],
+        robust.reshape(-1)[:S],
+    )
+
+
+def prune_supervoxel_correspondences(
+    filt_params,
+    correspondences: np.ndarray,  # (n, 6)
+    labels: np.ndarray,  # (n,) supervoxel id, -1 = dropped
+    *,
+    rockfall: bool = False,
+    refine_results: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host orchestration of the per-supervoxel filter.
+
+    Returns (updated correspondences (n, 6), keep mask (n,)).
+    """
+    n_labels = int(labels.max()) + 1 if labels.max() >= 0 else 0
+    if n_labels == 0:
+        return correspondences, np.zeros(len(labels), bool)
+    num_layers = sum(
+        1 for k in filt_params["params"] if str(k).startswith("block")
+    )
+    counts = np.bincount(labels[labels >= 0], minlength=n_labels)
+    P = bucket_size(int(counts.max()))
+    S = bucket_size(n_labels)
+    member_idx, member_mask = label_members(
+        jnp.asarray(labels, jnp.int32), S, P
+    )
+    corr = jnp.take(jnp.asarray(correspondences, jnp.float32), member_idx, axis=0)
+    new_tgt, keep, scores, robust = _filter_buckets(
+        filt_params, corr, member_mask, rockfall=rockfall, num_layers=num_layers
+    )
+    if not refine_results:
+        keep = member_mask & (scores > 0.99999)
+        new_tgt = corr[..., 3:6]
+    # Scatter back to per-point arrays.
+    out = correspondences.copy()
+    keep_pts = np.zeros(len(labels), bool)
+    mi = np.asarray(member_idx)
+    mm = np.asarray(member_mask)
+    nt = np.asarray(new_tgt)
+    kp = np.asarray(keep)
+    flat_idx = mi[mm]
+    out[flat_idx, 3:6] = nt[mm]
+    keep_pts[flat_idx] = kp[mm]
+    return out, keep_pts
+
+
+def run_f2s3_tile(
+    cfg,
+    dips_params,
+    filt_params,
+    src_core: np.ndarray,
+    tgt_core: np.ndarray,
+    *,
+    src_halo: np.ndarray | None = None,
+    tgt_halo: np.ndarray | None = None,
+    tile_id: int | str = 0,
+    logger=None,
+    rng_seed: int = 0,
+) -> dict:
+    """One tile of the F2S3 pipeline, host-orchestrated.
+
+    ``cfg`` needs: voxel_size, max_disp_magnitude, filter_median_magnitude,
+    fill_gaps_c2c, refine_results, n_normals, small_patch_removal,
+    output_dir/output_folder (reference schema f2s3_brienz.yaml).
+    Coordinates are centred here; outputs restore the original frame.
+    """
+    from fusion4landslide_tpu.io.results import (
+        save_dvfms,
+        visual_clamp_magnitude,
+    )
+
+    if src_halo is None:
+        src_halo = src_core
+    if tgt_halo is None:
+        tgt_halo = tgt_core
+
+    center = src_core.mean(axis=0)
+    s = (src_core - center).astype(np.float32)
+    t = (tgt_core - center).astype(np.float32)
+    sh = (src_halo - center).astype(np.float32)
+    th = (tgt_halo - center).astype(np.float32)
+
+    key = jax.random.PRNGKey(rng_seed)
+    k_feat_s, k_feat_t = jax.random.split(key)
+
+    # 1. median resolution -> patch radius (f2s3.py:106, 481-507).
+    res_s = float(median_nn_distance(jnp.asarray(s)))
+    res_t = float(median_nn_distance(jnp.asarray(t)))
+    median_res = max(res_s, res_t)
+    radius = float(np.sqrt(3) * 10.0 * median_res)
+    if logger:
+        logger.info(
+            "tile %s: median_res=%.4f, patch radius=%.4f", tile_id, median_res, radius
+        )
+
+    # 2. DIPs features.
+    src_feat = np.asarray(
+        compute_dips_features(dips_params, jnp.asarray(s), jnp.asarray(sh), radius, k_feat_s)
+    )
+    tgt_feat = np.asarray(
+        compute_dips_features(dips_params, jnp.asarray(t), jnp.asarray(th), radius, k_feat_t)
+    )
+
+    # 3. Supervoxel segmentation of the source (f2s3.py:183-189).
+    svl_radius = max(radius, float(cfg.get("voxel_size", 0.0)))
+    if "rockfall" in str(cfg.get("output_dir", "")).lower() or str(
+        cfg.get("dataset", "")
+    ).lower().startswith("rockfall"):
+        svl_radius = 0.1
+    seg = supervoxel_segmentation(
+        jnp.asarray(s), svl_radius, k_neighbors=int(cfg.get("n_normals", 30))
+    )
+    labels = np.asarray(seg.labels)
+    # Small-patch removal (f2s3.py:222-225).
+    min_count = 10 if cfg.get("small_patch_removal", True) else 1
+    counts = np.bincount(labels[labels >= 0], minlength=int(seg.n_supervoxels))
+    small = counts <= min_count
+    labels = np.where((labels >= 0) & ~small[np.clip(labels, 0, None)], labels, -1)
+    # compact labels
+    uniq = np.unique(labels[labels >= 0])
+    remap = np.full(int(labels.max()) + 1 if labels.max() >= 0 else 1, -1)
+    remap[uniq] = np.arange(uniq.size)
+    labels = np.where(labels >= 0, remap[np.clip(labels, 0, None)], -1)
+    if logger:
+        logger.info("tile %s: %d supervoxels kept", tile_id, uniq.size)
+
+    # 4. Feature-space 1-NN correspondences (f2s3.py:273-285).
+    _, nn_idx = nn1(jnp.asarray(src_feat), jnp.asarray(tgt_feat))
+    nn_idx = np.asarray(nn_idx)
+    correspondences = np.hstack([s, t[nn_idx]])
+
+    out_root = osp.join(
+        str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
+    )
+    results_dir = osp.join(out_root, "results")
+    os.makedirs(results_dir, exist_ok=True)
+
+    # Pre-pruning interim dvfms (f2s3.py:286-294).
+    mag0 = np.linalg.norm(correspondences[:, 3:6] - correspondences[:, :3], axis=1)
+    interim = np.hstack([correspondences[:, :3] + center, mag0[:, None]])
+    np.savetxt(
+        osp.join(results_dir, f"f2s3_dvfms_without_pruning_of_tile_{tile_id}.txt"),
+        interim,
+    )
+
+    # 5. Per-supervoxel pruning (f2s3.py:321-366).
+    rockfall = svl_radius == 0.1
+    pruned, keep = prune_supervoxel_correspondences(
+        filt_params,
+        correspondences,
+        labels,
+        rockfall=rockfall,
+        refine_results=bool(cfg.get("refine_results", True)),
+    )
+
+    filtered = pruned[keep]
+    mags = np.linalg.norm(filtered[:, 3:6] - filtered[:, :3], axis=1)
+
+    # 6. Max-magnitude gate (f2s3.py:392-394).
+    max_disp = float(cfg.get("max_disp_magnitude", 0) or 0)
+    if max_disp > 0:
+        sel = mags <= max_disp
+        filtered, mags = filtered[sel], mags[sel]
+
+    final = np.hstack([filtered[:, :3] + center, filtered[:, 3:6] + center])
+    np.savetxt(osp.join(results_dir, f"f2s3_dvfs_of_tile_{tile_id}.txt"), final)
+    dvfms = save_dvfms(
+        osp.join(results_dir, f"f2s3_dvfms_of_tile_{tile_id}.txt"),
+        final,
+        mags,
+    )
+    if dvfms.shape[0] > 2:
+        vis = visual_clamp_magnitude(dvfms, max_magnitude=5.0)
+        np.savetxt(
+            osp.join(
+                results_dir, f"f2s3_dvfms_of_tile_{tile_id}_visualize_0_5.txt"
+            ),
+            vis,
+        )
+
+    # 7. Median-magnitude filter: drop > 30x median (f2s3.py:427-449).
+    if cfg.get("filter_median_magnitude", False) and mags.size:
+        med = np.median(mags)
+        sel = mags < 30 * med
+        sub = np.hstack([final[sel][:, :3], mags[sel][:, None]])
+        d = osp.join(results_dir, "filtered_by_magnitude")
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(
+            osp.join(d, f"f2s3_dvfms_filtered_by_median_mag_of_tile_{tile_id}.txt"),
+            sub,
+        )
+
+    # 8. C2C gap fill: C2C distance everywhere, learned magnitudes at kept
+    # points (f2s3.py:452-477).
+    if cfg.get("fill_gaps_c2c", False):
+        c2c_sq, _ = nn1(jnp.asarray(s), jnp.asarray(t))
+        c2c = np.sqrt(np.asarray(c2c_sq))
+        kept_idx = np.where(keep)[0]
+        if max_disp > 0:
+            kmags = np.linalg.norm(
+                pruned[keep][:, 3:6] - pruned[keep][:, :3], axis=1
+            )
+            ksel = kmags <= max_disp
+            kept_idx = kept_idx[ksel]
+            kmags = kmags[ksel]
+        else:
+            kmags = np.linalg.norm(
+                pruned[kept_idx][:, 3:6] - pruned[kept_idx][:, :3], axis=1
+            )
+        c2c[kept_idx] = kmags
+        d = osp.join(results_dir, "combined_with_c2c")
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(
+            osp.join(d, f"f2s3_dvfms_combined_with_c2c_of_tile_{tile_id}.txt"),
+            np.hstack([s + center, c2c[:, None]]),
+        )
+
+    return {
+        "dvfs": final,
+        "magnitudes": mags,
+        "keep": keep,
+        "labels": labels,
+        "src_feat": src_feat,
+        "tgt_feat": tgt_feat,
+    }

@@ -1,0 +1,78 @@
+"""BSP tiling invariants."""
+
+import numpy as np
+
+from fusion4landslide_tpu.tiling import tile_epoch_pair, tile_point_clouds
+from fusion4landslide_tpu.io import read_ply, write_ply
+
+
+def make_pair(rng, n=5000, extent=200.0):
+    src = rng.uniform(0, extent, size=(n, 3))
+    src[:, 2] *= 0.05  # flat-ish terrain: z is the projection axis
+    tgt = src + np.array([0.1, -0.05, 0.02])
+    return src, tgt
+
+
+def test_tiles_cover_and_respect_max(rng):
+    src, tgt = make_pair(rng)
+    tiles, src_f, tgt_f, _, _, proj = tile_epoch_pair(src, tgt, max_pts=800)
+    assert proj == 2  # z has the largest overlap face
+    assert len(tiles) >= 2
+    covered = np.zeros(src_f.shape[0], bool)
+    for tp in tiles:
+        assert max(tp.src_idx.size, tp.tgt_idx.size) <= 800
+        covered[tp.src_idx] = True
+        # core is a subset of halo
+        assert np.isin(tp.src_idx, tp.src_halo_idx).all()
+        assert np.isin(tp.tgt_idx, tp.tgt_halo_idx).all()
+    # Every cropped source point lands in >= 1 tile core (up to boundary-eps
+    # double counting, none missing).
+    assert covered.all()
+
+
+def test_halo_buffer(rng):
+    src, tgt = make_pair(rng)
+    tiles, src_f, _, _, _, _ = tile_epoch_pair(src, tgt, max_pts=800)
+    tp = tiles[0]
+    halo_pts = src_f[tp.src_halo_idx]
+    # halo points stay within the core box expanded by 20 m in-plane
+    lo = tp.bbox_min.copy()
+    hi = tp.bbox_max.copy()
+    lo[:2] -= 20.0 + 1e-9
+    hi[:2] += 20.0 + 1e-9
+    assert ((halo_pts >= lo) & (halo_pts <= hi)).all()
+    # and the halo is strictly larger than the core for an interior tile
+    assert tp.src_halo_idx.size >= tp.src_idx.size
+
+
+def test_voxel_filter_reduces(rng):
+    src, tgt = make_pair(rng, n=3000, extent=50.0)
+    tiles, src_f, tgt_f, _, _, _ = tile_epoch_pair(
+        src, tgt, max_pts=10_000, voxel_size=5.0
+    )
+    assert src_f.shape[0] < 3000
+    assert tgt_f.shape[0] < 3000
+
+
+def test_file_level_api(tmp_path, rng):
+    src, tgt = make_pair(rng, n=2000)
+    write_ply(str(tmp_path / "src.ply"), src)
+    write_ply(str(tmp_path / "tgt.ply"), tgt)
+    n = tile_point_clouds(
+        str(tmp_path / "src.ply"),
+        str(tmp_path / "tgt.ply"),
+        max_pts=600,
+        min_pts=5,
+        voxel_flag=False,
+        voxel_size=0.0,
+        overlap=0.0,
+        proj_dir=-1,
+        save_dir=str(tmp_path / "tiled_data"),
+    )
+    assert n >= 2
+    tile0 = read_ply(str(tmp_path / "tiled_data/non_overlap/source_tile_0.ply"))
+    halo0 = read_ply(
+        str(tmp_path / "tiled_data/overlap/source_tile_0_overlap.ply")
+    )
+    assert 0 < len(tile0) <= 600
+    assert len(halo0) >= len(tile0)
