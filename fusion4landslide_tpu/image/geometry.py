@@ -1,0 +1,175 @@
+"""Camera geometry: pinhole projection, depth rasterisation, 2D→3D lifting.
+
+Capability parity with the reference's image-geometry helpers
+(src/coarse_to_fine_matching_base.py):
+
+- ``project_points``   ↔ the projection block of ``pcd2img_with_different_types``
+  (base:1353-1426): p_cam = E[:3,:3] p + E[:3,3]; pixel = K p_cam / z;
+  v is flipped as ``image_h - v`` (base:1365), points outside the image are
+  masked (base:1368-1369),
+- ``rasterize_depth``  ↔ the depth-map fill (base:1436-1443) — but as a
+  z-buffer scatter-min (the reference's last-write-wins raster is an
+  iteration-order artifact; min-depth is the physically correct visible
+  surface),
+- ``lift_pixels_to_world`` ↔ ``lift_2d_to_3d_with_interpolation``
+  (base:664-728): (u, (h - v)) · z through K⁻¹, then the inverse extrinsic,
+- ``chain_2d_matches_to_3d`` ↔ ``map_corr_2d_to_3d`` (base:387-423): for
+  each projected source point, the nearest 2D match endpoint within
+  ``pixel_thres`` chains it to the nearest projected target point of that
+  match's other endpoint.
+
+All fixed-shape jit-compiled tensor ops; the reference's cKDTree pixel
+searches become 2-d blocked kNN.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fusion4landslide_tpu.ops.knn import knn
+
+__all__ = [
+    "project_points",
+    "rasterize_depth",
+    "lift_pixels_to_world",
+    "chain_2d_matches_to_3d",
+]
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "v_flip"))
+def project_points(
+    points: jax.Array,
+    extrinsic: jax.Array,
+    intrinsic: jax.Array,
+    image_size: tuple[int, int],
+    *,
+    mask: jax.Array | None = None,
+    v_flip: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Project world points into an image.
+
+    Args:
+        points: (n, 3) world coordinates.
+        extrinsic: (4, 4) or (3, 4) world→camera transform.
+        intrinsic: (3, 3) K.
+        image_size: (height, width) — reference's ``image_size`` ordering
+            (fusion_brienz.yaml:33).
+        v_flip: flip v as ``height - v`` (base:1365; the Riegl scan images
+            are stored bottom-up).
+
+    Returns:
+        uv: (n, 2) pixel coordinates (u, v).
+        depth: (n,) camera-space z.
+        valid: (n,) in-front-of-camera and inside the image.
+    """
+    h, w = image_size
+    hp = jax.lax.Precision.HIGHEST
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    cam = jnp.einsum("ij,nj->ni", R, points, precision=hp) + t
+    pix = jnp.einsum("ij,nj->ni", intrinsic, cam, precision=hp)
+    z = pix[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u = pix[:, 0] / safe_z
+    v = pix[:, 1] / safe_z
+    if v_flip:
+        v = h - v
+    valid = (z > 0) & (u > 0) & (u < w) & (v > 0) & (v < h)
+    if mask is not None:
+        valid = valid & mask.astype(bool)
+    return jnp.stack([u, v], axis=1), cam[:, 2], valid
+
+
+@functools.partial(jax.jit, static_argnames=("image_size",))
+def rasterize_depth(
+    uv: jax.Array,
+    depth: jax.Array,
+    valid: jax.Array,
+    image_size: tuple[int, int],
+) -> tuple[jax.Array, jax.Array]:
+    """Z-buffer rasterisation of projected points.
+
+    Returns:
+        depth_map: (h, w), -1 where empty (reference initialises to -1,
+            base:1436).
+        index_map: (h, w) int32 index of the nearest point per pixel, -1
+            where empty (the pixel→point map the reference rebuilds with
+            cKDTree chains).
+    """
+    h, w = image_size
+    px = jnp.clip(uv[:, 0].astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(uv[:, 1].astype(jnp.int32), 0, h - 1)
+    flat = py * w + px
+    big = jnp.asarray(jnp.inf, depth.dtype)
+    d = jnp.where(valid.astype(bool), depth, big)
+    # scatter-min depth per pixel
+    dmap = jnp.full((h * w,), big, depth.dtype).at[flat].min(d)
+    # winner index: a point whose depth equals the pixel minimum
+    n = uv.shape[0]
+    winner = jnp.take(dmap, flat) == d
+    imap = jnp.full((h * w,), -1, jnp.int32).at[
+        jnp.where(winner, flat, h * w - 1)
+    ].max(jnp.where(winner, jnp.arange(n, dtype=jnp.int32), -1))
+    dmap = jnp.where(jnp.isfinite(dmap), dmap, -1.0)
+    return dmap.reshape(h, w), imap.reshape(h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "v_flip"))
+def lift_pixels_to_world(
+    uv: jax.Array,
+    depth: jax.Array,
+    extrinsic: jax.Array,
+    intrinsic: jax.Array,
+    image_size: tuple[int, int],
+    *,
+    v_flip: bool = True,
+) -> jax.Array:
+    """Back-project pixels with known depth to world coordinates
+    (base:664-728)."""
+    h, _ = image_size
+    hp = jax.lax.Precision.HIGHEST
+    v = h - uv[:, 1] if v_flip else uv[:, 1]
+    ones = jnp.ones_like(depth)
+    pix_h = jnp.stack([uv[:, 0], v, ones], axis=1) * depth[:, None]
+    Kinv = jnp.linalg.inv(intrinsic)
+    cam = jnp.einsum("ij,nj->ni", Kinv, pix_h, precision=hp)
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    return jnp.einsum("ji,nj->ni", R, cam - t, precision=hp)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def chain_2d_matches_to_3d(
+    corres_2d: jax.Array,  # (M, 4) [src_u, src_v, tgt_u, tgt_v]
+    src_proj_uv: jax.Array,  # (Ns, 2) projected source points
+    tgt_proj_uv: jax.Array,  # (Nt, 2) projected target points
+    pixel_thres: jax.Array | float,
+    corres_mask: jax.Array | None = None,
+    src_valid: jax.Array | None = None,
+    tgt_valid: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """3D point correspondences from 2D pixel matches (base:387-423).
+
+    For each source point: nearest match's src endpoint within
+    ``pixel_thres`` → that match's tgt endpoint → nearest projected target
+    point within ``pixel_thres``.
+
+    Returns:
+        tgt_idx: (Ns,) matched target-point index.
+        valid: (Ns,) both pixel hops within threshold.
+    """
+    thr2 = jnp.asarray(pixel_thres) ** 2
+    d1, m_idx = knn(src_proj_uv, corres_2d[:, :2], 1, corres_mask)
+    m_idx = m_idx[:, 0]
+    hop1 = jnp.isfinite(d1[:, 0]) & (d1[:, 0] < thr2)
+    tgt_px = jnp.take(corres_2d[:, 2:4], m_idx, axis=0)
+    d2, t_idx = knn(tgt_px, tgt_proj_uv, 1, tgt_valid)
+    t_idx = t_idx[:, 0]
+    hop2 = jnp.isfinite(d2[:, 0]) & (d2[:, 0] < thr2)
+    valid = hop1 & hop2
+    if src_valid is not None:
+        valid = valid & src_valid.astype(bool)
+    return t_idx, valid

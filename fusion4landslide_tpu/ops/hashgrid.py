@@ -137,22 +137,27 @@ def hash_grid_knn(
             h27.shape
         )  # (B, 27)
         lane = jnp.arange(cap)  # (cap,)
-        pos = starts[..., None] + lane  # (B, 27, cap)
+        B = q.shape[0]
+        pos = (starts[..., None] + lane).reshape(B, 27 * cap)  # (B, 27C)
         pos_c = jnp.clip(pos, 0, m - 1)
-        cand_hash = jnp.take(grid.hashes, pos_c)  # (B, 27, cap)
-        in_run = (cand_hash == h27[..., None]) & (pos < m)
+        cand_hash = jnp.take(grid.hashes, pos_c)  # (B, 27C)
+        h27r = jnp.repeat(h27, cap, axis=1)  # (B, 27C)
+        in_run = (cand_hash == h27r) & (pos < m)
         # Overflow: run continues past the cap window.
         nxt = jnp.clip(starts + cap, 0, m - 1)
         run_over = (jnp.take(grid.hashes, nxt) == h27) & (starts + cap < m)
-        cand_pts = jnp.take(grid.points, pos_c, axis=0)  # (B, 27, cap, 3)
-        d2 = jnp.sum((cand_pts - q[:, None, None, :]) ** 2, axis=-1)
+        # Distances accumulated per coordinate over (B, 27C) planes — never
+        # materialise a (..., 3) minor axis (it pads 3 -> 128 lanes on TPU).
+        d2 = None
+        for d in range(3):
+            cd = jnp.take(grid.points[:, d], pos_c) - q[:, None, d]
+            d2 = cd * cd if d2 is None else d2 + cd * cd
         cand_idx = jnp.take(grid.index, pos_c)  # original indices
         bad = ~in_run | (d2 > radius * radius)
         if exclude_self:
-            bad = bad | (cand_idx == rows[:, None, None])
-        d2 = jnp.where(bad, jnp.inf, d2)
-        d2f = d2.reshape(q.shape[0], -1)
-        idxf = cand_idx.reshape(q.shape[0], -1)
+            bad = bad | (cand_idx == rows[:, None])
+        d2f = jnp.where(bad, jnp.inf, d2)
+        idxf = cand_idx
         neg, sel = jax.lax.top_k(-d2f, k)
         best_i = jnp.take_along_axis(idxf, sel, axis=1)
         best_d = -neg

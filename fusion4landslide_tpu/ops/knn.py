@@ -42,8 +42,14 @@ _DIFF_DIM_MAX = 8  # use exact diff-form distances up to this many dims
 def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     """Squared Euclidean distances between rows of a (n,d) and b (m,d)."""
     if a.shape[-1] <= _DIFF_DIM_MAX:
-        diff = a[..., :, None, :] - b[..., None, :, :]
-        return jnp.sum(diff * diff, axis=-1)
+        # Accumulate per coordinate over (n, m) planes. Keeping the tiny
+        # d-axis out of the minor dimensions matters on TPU: an (n, m, 3)
+        # intermediate would pad 3 -> 128 lanes (42x waste).
+        out = None
+        for d in range(a.shape[-1]):
+            diff = a[..., :, None, d] - b[..., None, :, d]
+            out = diff * diff if out is None else out + diff * diff
+        return out
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (n, 1)
     b2 = jnp.sum(b * b, axis=-1)  # (m,)
     # HIGHEST precision: the default TPU f32 matmul loses ~1e-3 relative,

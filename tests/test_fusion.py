@@ -1,0 +1,143 @@
+"""fusion_3d pipeline: coarse/fine device cores + end-to-end tile run."""
+
+import jax
+import numpy as np
+import pytest
+
+from fusion4landslide_tpu.models.aggregation import ClusterFeatureNet
+from fusion4landslide_tpu.models.dips import PointNetFeature
+from fusion4landslide_tpu.pipelines.fusion import (
+    coarse_match_superpoints,
+    fine_match_pairs,
+    global_matches_3d,
+    run_fusion3d_tile,
+)
+
+
+def test_global_matches_3d_gating(rng):
+    n, m = 50, 60
+    feat_s = rng.normal(size=(n, 64)).astype(np.float32)
+    feat_t = np.vstack([feat_s[:40], rng.normal(size=(m - 40, 64))]).astype(
+        np.float32
+    )
+    pos_s = rng.uniform(0, 10, size=(n, 3)).astype(np.float32)
+    pos_t = np.vstack(
+        [pos_s[:30] + 0.1, pos_s[30:40] + 50.0, rng.uniform(0, 10, (m - 40, 3))]
+    ).astype(np.float32)
+    idx, valid = global_matches_3d(feat_s, feat_t, pos_s, pos_t, 5.0)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    # identical features within magnitude -> matched to the right row
+    assert (idx[:30] == np.arange(30)).all()
+    assert valid[:30].all()
+    # identical features but 50 m away -> gated out
+    assert not valid[30:40].any()
+
+
+def test_coarse_match_mutual(rng):
+    S = 20
+    feat_s = rng.normal(size=(S, 64)).astype(np.float32)
+    feat_t = feat_s[::-1].copy()  # reversed order, exact matches
+    coord = rng.uniform(0, 5, size=(S, 3)).astype(np.float32)
+    tgt_idx, valid = coarse_match_superpoints(
+        feat_s, coord, np.ones(S, bool),
+        feat_t, coord[::-1].copy(), np.ones(S, bool),
+        10.0,
+    )
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(tgt_idx), S - 1 - np.arange(S))
+
+
+def test_fine_match_pairs_recovers_shift(rng):
+    # Two patches: one rigidly shifted with correct correspondences, one
+    # with scrambled correspondences that must fail the isometry gate.
+    P = 64
+    vox_s = rng.uniform(0, 4, size=(2 * P, 3)).astype(np.float32)
+    shift = np.array([0.2, -0.1, 0.05], np.float32)
+    vox_t = np.vstack([vox_s[:P] + shift, rng.uniform(0, 4, (P, 3))]).astype(
+        np.float32
+    )
+    lab_t = np.concatenate([np.zeros(P), np.ones(P)]).astype(np.int32)
+    # patch 0: correct matches; patch 1: random (non-isometric) matches
+    corres = np.concatenate([np.arange(P), rng.integers(P, 2 * P, P)]).astype(
+        np.int32
+    )
+    members = np.stack([np.arange(P), np.arange(P, 2 * P)]).astype(np.int32)
+    mask = np.ones((2, P), bool)
+    res = fine_match_pairs(
+        members,
+        mask,
+        np.array([0, 1], np.int32),
+        corres,
+        np.ones(2 * P, bool),
+        lab_t,
+        vox_s,
+        np.vstack([vox_s[:P] + shift, vox_t[P:]]).astype(np.float32),
+        icp_threshold=0.3,
+        num_min_fine=10,
+    )
+    valid = np.asarray(res.valid)
+    assert valid[0] and not valid[1]
+    np.testing.assert_allclose(np.asarray(res.t)[0], shift, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.R)[0], np.eye(3), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_run_fusion3d_tile_end_to_end(tmp_path, rng):
+    dips = PointNetFeature()
+    dips_params = dips.init(jax.random.PRNGKey(0), np.zeros((2, 64, 3), np.float32))
+    agg = ClusterFeatureNet()
+    agg_params = agg.init(
+        jax.random.PRNGKey(1),
+        np.zeros((2, 8, 64), np.float32),
+        np.ones((2, 8), bool),
+    )
+
+    n = 1500
+    xy = rng.uniform(0, 16, size=(n, 2))
+    z = np.sin(xy[:, 0] * 1.3) * 0.8 + np.cos(xy[:, 1] * 1.9) * 0.5
+    src = np.column_stack([xy, z]).astype(np.float32)
+    shift = np.array([0.12, 0.0, 0.08], np.float32)
+    moving = src[:, 0] > 8.0
+    tgt = src.copy()
+    tgt[moving] += shift
+
+    cfg = {
+        "max_magnitude": 5.0,
+        "icp_threshold": 0.3,
+        "level_of_superpoint": [1, 2],
+        "num_min_fine_match": 5,
+        "num_min_matches_for_quality_check": 10,
+        "thres_dist_diff": 0.5,
+        "thres_inlier_ratio": 0.15,
+        "num_min_matches_for_small_patch": 5,
+        "voxel_size_init": 0.1,
+        "assign_type": "assign_then_nn",
+        "output_tgt2src": False,
+        "output_dir": str(tmp_path),
+        "output_folder": "run",
+        "dataset": "brienz_tls",
+        "feat_k_max": 128,
+        "feat_patch_points": 64,
+        "feat_chunk": 512,
+    }
+    out = run_fusion3d_tile(
+        cfg,
+        dips_params,
+        agg_params,
+        src.astype(np.float64) + 300.0,
+        tgt.astype(np.float64) + 300.0,
+        tile_id=0,
+    )
+    results = tmp_path / "run" / "results"
+    assert (results / "c2f_dvfs_src2tgt_tile_0.txt").exists()
+    assert (results / "c2f_dvfms_src2tgt_tile_0.txt").exists()
+    assert out["assigned_fraction"] > 0.3
+    dvfs = out["dvfs"]
+    disp = dvfs[:, 3:6] - dvfs[:, :3]
+    src_back = dvfs[:, :3] - 300.0
+    mov = src_back[:, 0] > 9.0
+    stab = src_back[:, 0] < 7.0
+    if mov.sum() > 50 and stab.sum() > 50:
+        # moving-region estimated displacement close to truth, stable ~0
+        assert np.linalg.norm(np.median(disp[mov], axis=0) - shift) < 0.1
+        assert np.linalg.norm(np.median(disp[stab], axis=0)) < 0.05
