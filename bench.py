@@ -1,14 +1,18 @@
 #!/usr/bin/env python
 """Headline benchmark: kNN + rigid-fit registration throughput on TPU.
 
-Times the registration core every pipeline rides — exact 1-NN matching of a
-1M-point epoch pair plus the piecewise cell-centroid displacement solve
-(grid binning, per-cell centroids, centroid kNN, stable/unstable classify) —
-and reports Mpoints/sec.
+Times the registration core every pipeline rides — exact radius-bounded
+1-NN matching of a 1M-point epoch pair (hash-grid kernel) plus the piecewise
+cell-centroid displacement solve (grid binning, per-cell centroids, centroid
+kNN, stable/unstable classify) — and reports Mpoints/sec.
 
 ``vs_baseline`` is measured, not assumed: the same 1-NN workload through
-scipy's cKDTree on this host's CPU (the reference's neighbour searches run on
-CPU kd-trees/HNSW — utils baseline), extrapolated from a subsample.
+scipy's cKDTree on this host's CPU (the reference's spatial searches run on
+CPU kd-trees/HNSW), extrapolated from a subsample.
+
+Timing note: results are synced by device→host transfer (``np.asarray``) —
+on the tunnelled TPU backend ``block_until_ready`` returns at dispatch-ack,
+not completion.
 
 Prints exactly one JSON line.
 Env: BENCH_N (default 1_000_000 points per epoch).
@@ -44,30 +48,33 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fusion4landslide_tpu.ops.knn import nn1
+    from fusion4landslide_tpu.ops.hashgrid import build_hash_grid, hash_grid_knn
     from fusion4landslide_tpu.pipelines.piecewise_icp import piecewise_icp_core
 
     s = jax.device_put(jnp.asarray(src))
     t = jax.device_put(jnp.asarray(tgt))
     ones = jnp.ones((n,), bool)
     smax = max(extent / 16.0, 1.0)
+    radius = 0.5  # displacement search bound (max-magnitude gate scale)
 
-    def workload():
-        d, idx = nn1(s, t)
-        res = piecewise_icp_core(s, t, ones, ones, smax, 10)
+    def workload(q):
+        grid = build_hash_grid(t, radius)
+        d, idx, _ = hash_grid_knn(q, grid, radius, k=1, cap=64)
+        res = piecewise_icp_core(q, t, ones, ones, smax, 10)
         return d, res.displacement
 
-    # Warmup/compile.
-    d, disp = workload()
-    d.block_until_ready()
-    disp.block_until_ready()
+    # Warmup/compile, synced via host transfer.
+    d, disp = workload(s)
+    np.asarray(d)
+    np.asarray(disp[:1])
 
     best = float("inf")
-    for _ in range(3):
+    for k in range(3):
+        q = s + np.float32(k) * np.float32(1e-7)  # defeat any result caching
         t0 = time.perf_counter()
-        d, disp = workload()
-        d.block_until_ready()
-        disp.block_until_ready()
+        d, disp = workload(q)
+        np.asarray(d[-1:])
+        np.asarray(disp[-1:])
         best = min(best, time.perf_counter() - t0)
     mpts = n / best / 1e6
 

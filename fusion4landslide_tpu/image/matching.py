@@ -1,0 +1,229 @@
+"""Dense 2D image matching for epoch pairs.
+
+The reference consumes external learned matchers — EfficientLoFTR or RoMa,
+vendored as (empty-in-this-checkout) submodules and invoked per crop pair
+(src/coarse_to_fine_matching_base.py:1059-1233, src/rgb_guided.py:2063) —
+producing (u0, v0, u1, v1) pixel correspondences. This module provides:
+
+- a matcher *registry* with the same output contract, so learned matchers
+  drop in as they are ported,
+- ``zncc_grid_match``: a TPU-native zero-normalised cross-correlation
+  grid matcher (classical digital image correlation, the standard tool of
+  geodetic deformation monitoring). For co-registered epoch pairs with
+  near-identical viewpoints — exactly the reference's setting, where the
+  same camera re-scans the scene — ZNCC over a local search window recovers
+  the dense pixel flow directly. All candidate displacements of all grid
+  points are scored with one batched matmul: (G, offsets, p²) x (G, p², 1)
+  rides the MXU; sub-pixel refinement by parabola fit on the correlation
+  surface,
+- ``match_epoch_images``: sliding-window crop pairing mirroring the
+  reference's crop loop (base:1109-1121, crop/overlap sizes from
+  fusion_brienz.yaml:34-35) — but batched over crops instead of a Python
+  loop per pair.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["zncc_grid_match", "match_epoch_images", "get_matcher", "MATCHERS"]
+
+
+def _to_gray(img: jax.Array) -> jax.Array:
+    if img.ndim == 3:
+        w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+        return jnp.einsum("hwc,c->hw", img[..., :3], w)
+    return img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_step", "patch", "search", "g_block"),
+)
+def _zncc_core(
+    img0: jax.Array,
+    img1: jax.Array,
+    grid_step: int,
+    patch: int,
+    search: int,
+    g_block: int = 1024,
+):
+    h, w = img0.shape
+    half = patch // 2
+    margin = half + search
+    ys = jnp.arange(margin, h - margin, grid_step)
+    xs = jnp.arange(margin, w - margin, grid_step)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    centers = jnp.stack([gy.reshape(-1), gx.reshape(-1)], axis=1)  # (G, 2)
+    G = centers.shape[0]
+
+    n_off = 2 * search + 1
+    offs = jnp.arange(-search, search + 1)
+    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+    doffs = jnp.stack([dy.reshape(-1), dx.reshape(-1)], axis=1)  # (O, 2)
+    O = doffs.shape[0]
+
+    py, px = jnp.meshgrid(
+        jnp.arange(-half, patch - half), jnp.arange(-half, patch - half),
+        indexing="ij",
+    )
+    prel = jnp.stack([py.reshape(-1), px.reshape(-1)], axis=1)  # (p², 2)
+
+    def one_block(cblock):
+        # Template vectors from img0: (B, p²).
+        pos0 = cblock[:, None, :] + prel[None, :, :]
+        t = img0[pos0[..., 0], pos0[..., 1]]
+        t = t - jnp.mean(t, axis=1, keepdims=True)
+        t_norm = jnp.sqrt(jnp.sum(t * t, axis=1, keepdims=True)) + 1e-6
+        t = t / t_norm
+
+        # Candidate vectors from img1: (B, O, p²).
+        pos1 = (
+            cblock[:, None, None, :]
+            + doffs[None, :, None, :]
+            + prel[None, None, :, :]
+        )
+        c = img1[pos1[..., 0], pos1[..., 1]]
+        c = c - jnp.mean(c, axis=2, keepdims=True)
+        c_norm = jnp.sqrt(jnp.sum(c * c, axis=2, keepdims=True)) + 1e-6
+        c = c / c_norm
+
+        # All correlations in one batched matmul (MXU).
+        corr = jnp.einsum(
+            "bop,bp->bo", c, t, preferred_element_type=jnp.float32
+        )  # (B, O)
+        best = jnp.argmax(corr, axis=1)
+        score = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
+
+        # Sub-pixel parabola refinement along y and x of the O = n x n grid.
+        by = best // n_off
+        bx = best % n_off
+
+        def parab(cm, c0, cp):
+            denom = cm - 2.0 * c0 + cp
+            return jnp.where(
+                jnp.abs(denom) > 1e-9,
+                jnp.clip(0.5 * (cm - cp) / denom, -1.0, 1.0),
+                0.0,
+            )
+
+        corr2 = corr.reshape(-1, n_off, n_off)
+        bi = jnp.arange(corr2.shape[0])
+        bys = jnp.clip(by, 1, n_off - 2)
+        bxs = jnp.clip(bx, 1, n_off - 2)
+        sub_y = parab(
+            corr2[bi, bys - 1, bxs], corr2[bi, bys, bxs], corr2[bi, bys + 1, bxs]
+        )
+        sub_x = parab(
+            corr2[bi, bys, bxs - 1], corr2[bi, bys, bxs], corr2[bi, bys, bxs + 1]
+        )
+        flow_y = (by - search).astype(jnp.float32) + sub_y
+        flow_x = (bx - search).astype(jnp.float32) + sub_x
+        return flow_y, flow_x, score, t_norm[:, 0]
+
+    pad = (-G) % g_block
+    cpad = jnp.pad(centers, ((0, pad), (0, 0)))
+    nb = cpad.shape[0] // g_block
+    fy, fx, sc, tn = jax.lax.map(
+        one_block, cpad.reshape(nb, g_block, 2)
+    )
+    fy = fy.reshape(-1)[:G]
+    fx = fx.reshape(-1)[:G]
+    sc = sc.reshape(-1)[:G]
+    tn = tn.reshape(-1)[:G]
+    return centers, fy, fx, sc, tn
+
+
+def zncc_grid_match(
+    img0: np.ndarray,
+    img1: np.ndarray,
+    *,
+    grid_step: int = 8,
+    patch: int = 16,
+    search: int = 32,
+    min_score: float = 0.6,
+    min_texture: float = 1.0,
+) -> np.ndarray:
+    """Dense grid matches between two co-registered epoch images.
+
+    Returns an (M, 4) array of [u0, v0, u1, v1] (the reference matchers'
+    txt contract, base:1210-1211), filtered by ZNCC score and a minimum
+    template contrast (texture) so flat regions don't emit noise matches.
+    """
+    g0 = np.asarray(_to_gray(jnp.asarray(img0, jnp.float32)))
+    g1 = np.asarray(_to_gray(jnp.asarray(img1, jnp.float32)))
+    centers, fy, fx, score, texture = _zncc_core(
+        jnp.asarray(g0), jnp.asarray(g1), grid_step, patch, search
+    )
+    centers = np.asarray(centers)
+    fy, fx = np.asarray(fy), np.asarray(fx)
+    score, texture = np.asarray(score), np.asarray(texture)
+    keep = (score >= min_score) & (texture >= min_texture)
+    u0 = centers[:, 1].astype(np.float32)
+    v0 = centers[:, 0].astype(np.float32)
+    u1 = u0 + fx
+    v1 = v0 + fy
+    return np.stack([u0, v0, u1, v1], axis=1)[keep]
+
+
+def match_epoch_images(
+    img0: np.ndarray,
+    img1: np.ndarray,
+    *,
+    matcher: str = "zncc",
+    crop_size: tuple[int, int] | None = None,
+    overlap_size: tuple[int, int] | None = None,
+    **kw,
+) -> np.ndarray:
+    """Match two (possibly large) epoch images.
+
+    When ``crop_size`` is given, images are matched over a sliding-window
+    grid of same-position crop pairs (step = crop - overlap, mirroring
+    base:1109-1121) and results are merged in full-image coordinates; the
+    reference's O(crops²) cross-pairing is unnecessary for co-registered
+    epochs where motion is far smaller than a crop.
+    """
+    fn = get_matcher(matcher)
+    if crop_size is None:
+        return fn(img0, img1, **kw)
+    ch, cw = crop_size
+    oh, ow = overlap_size or (ch // 2, cw // 2)
+    sh, sw = max(ch - oh, 1), max(cw - ow, 1)
+    h, w = img0.shape[:2]
+    out = []
+    for y0 in range(0, max(h - ch, 0) + 1, sh):
+        for x0 in range(0, max(w - cw, 0) + 1, sw):
+            c0 = img0[y0 : y0 + ch, x0 : x0 + cw]
+            c1 = img1[y0 : y0 + ch, x0 : x0 + cw]
+            m = fn(c0, c1, **kw)
+            if m.size:
+                m = m + np.asarray([x0, y0, x0, y0], np.float32)
+                out.append(m)
+    if not out:
+        return np.zeros((0, 4), np.float32)
+    merged = np.concatenate(out, axis=0)
+    # Dedup overlapping-crop duplicates by (u0, v0) pixel cell.
+    key = (merged[:, 1].round().astype(np.int64) * (w + 1)
+           + merged[:, 0].round().astype(np.int64))
+    _, first = np.unique(key, return_index=True)
+    return merged[np.sort(first)]
+
+
+MATCHERS = {"zncc": zncc_grid_match}
+
+
+def get_matcher(name: str):
+    """Look up a matcher by name ('zncc'; 'eloftr'/'roma' slots reserved for
+    the learned-port drop-ins)."""
+    try:
+        return MATCHERS[name.lower()]
+    except KeyError as e:
+        raise NotImplementedError(
+            f"image matcher '{name}' is not available; options: "
+            f"{sorted(MATCHERS)} (learned matchers land as ports of the "
+            "reference's EfficientLoFTR/RoMa submodules)"
+        ) from e

@@ -1,4 +1,4 @@
-"""Hash-grid spatial nearest-neighbour search (radius-bounded, exact).
+"""Grid-bucketed spatial nearest-neighbour search (radius-bounded, exact).
 
 The brute-force blocked kNN in :mod:`fusion4landslide_tpu.ops.knn` is exact
 but O(N·M) — fine for feature space (64-d rides the MXU) and for small sets,
@@ -8,19 +8,23 @@ utils/o3d_tools.py:49, LRF patch radius src/data_loader.py:44, displacement
 magnitude gates base:2899-2906), which admits the classic uniform-grid
 decomposition — re-designed here for TPU's fixed-shape model:
 
-- reference points are binned into cells of edge = radius via a 32-bit
-  spatial hash (no linearised key to overflow), then sorted by hash so each
-  cell is a contiguous run,
-- each query gathers the runs of its 27 neighbouring cells (a ball of
-  radius r is covered by the 3x3x3 cell block at cell edge r), up to a
-  static per-cell occupancy cap, and reduces top-k by true distance,
-- everything is gathers + top_k over fixed (n, 27·cap) candidate tables —
-  data-parallel, VPU/MXU friendly, no data-dependent shapes.
+- reference points are binned into grid cells of edge >= radius and sorted
+  by *linearised* cell id; a dense ``starts`` table (exclusive prefix sum of
+  cell counts, padded to a static cell capacity) gives each cell's run with
+  a single gather — no per-query binary search,
+- queries are sorted by their own cell id before the join, so consecutive
+  queries touch the same 27 neighbour cells and the candidate gathers hit
+  coherent memory; results are scattered back through the sort permutation,
+- each query scores up to ``cap`` candidates from each of its 27 neighbour
+  cells (a ball of radius r is covered by the 3x3x3 block at cell edge r)
+  and reduces top-k by true distance — gathers + top_k over fixed
+  (B, 27·cap) tables, no data-dependent shapes,
+- the grid's cell edge is automatically grown when the bounding box would
+  exceed the static cell capacity, preserving the 27-cell covering
+  invariant (cell >= radius always holds).
 
-Exactness: a hash collision only *adds* candidates of a far-away cell into a
-run; it can push true candidates past the occupancy cap. ``overflow`` counts
-queries whose candidate runs were truncated so callers can re-run with a
-bigger cap (collision probability at 1M occupied cells is ~1e-4).
+Exactness: truncated cell runs (occupancy > cap) are counted in
+``overflow`` so callers can re-run with a bigger cap.
 """
 
 from __future__ import annotations
@@ -33,52 +37,74 @@ import jax.numpy as jnp
 
 __all__ = ["HashGrid", "build_hash_grid", "hash_grid_knn"]
 
-# Large primes for 3-d spatial hashing (Teschner et al. 2003).
-_P1, _P2, _P3 = 73856093, 19349663, 83492791
-
-
-def _cell_hash(cells: jax.Array) -> jax.Array:
-    """(..., 3) int32 cell coords -> (...,) uint32 hash."""
-    c = cells.astype(jnp.uint32)
-    return (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+#: Static bound on the dense cell table (int32 entries).
+_MAX_CELLS = 1 << 21
 
 
 class HashGrid(NamedTuple):
-    points: jax.Array  # (m, 3) reference points sorted by cell hash
+    points: jax.Array  # (m, 3) reference points sorted by cell id
     index: jax.Array  # (m,) original indices, same order
-    hashes: jax.Array  # (m,) sorted uint32 cell hashes
-    cell: jax.Array  # () cell edge length
+    starts: jax.Array  # (_MAX_CELLS + 1,) exclusive-prefix cell starts
+    dims: jax.Array  # (3,) int32 grid dimensions
+    cell: jax.Array  # () effective cell edge (>= requested)
     origin: jax.Array  # (3,)
+    m_valid: jax.Array  # () number of valid (unmasked) reference points
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("max_cells",))
 def build_hash_grid(
     ref: jax.Array,
     cell: jax.Array | float,
     ref_mask: jax.Array | None = None,
+    *,
+    max_cells: int = _MAX_CELLS,
 ) -> HashGrid:
-    """Sort reference points into hash-cell runs. Masked points receive the
-    max hash so they sort last and never collide into real runs' windows
-    (they remain distance-checked candidates only if a real run reaches
-    them, and their distance is +inf via coordinates sent far away)."""
+    """Bin reference points into a dense-start uniform grid."""
     m = ref.shape[0]
-    cell = jnp.asarray(cell, ref.dtype)
+    dtype = ref.dtype
+    cell = jnp.asarray(cell, dtype)
     if ref_mask is not None:
         mask = ref_mask.astype(bool)
-        # Send masked points to an unreachable location.
-        ref = jnp.where(mask[:, None], ref, jnp.asarray(3e38, ref.dtype))
-    origin = jnp.zeros((3,), ref.dtype)
-    cells = jnp.floor(ref / cell).astype(jnp.int32)
-    h = _cell_hash(cells)
-    if ref_mask is not None:
-        h = jnp.where(mask, h, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(h)
+    else:
+        mask = jnp.ones((m,), bool)
+    big = jnp.asarray(3e38, dtype)
+    pts = jnp.where(mask[:, None], ref, big)
+    origin = jnp.min(jnp.where(mask[:, None], ref, big), axis=0)
+    extent = jnp.max(jnp.where(mask[:, None], ref, -big), axis=0) - origin
+    extent = jnp.maximum(extent, 0.0)
+    # Grow the cell edge until the grid fits the static table.
+    target = jnp.asarray(float(max_cells), dtype)
+
+    def grow(c):
+        dims = jnp.floor(extent / c).astype(jnp.int64) + 1
+        return dims[0] * dims[1] * dims[2] > target
+
+    cell_eff = jax.lax.while_loop(grow, lambda c: c * 1.5, cell)
+    dims = (jnp.floor(extent / cell_eff) + 1).astype(jnp.int32)
+
+    cells = jnp.clip(
+        jnp.floor((pts - origin) / cell_eff).astype(jnp.int32),
+        0,
+        dims - 1,
+    )
+    linear = (cells[:, 0] * dims[1] + cells[:, 1]) * dims[2] + cells[:, 2]
+    linear = jnp.where(mask, linear, max_cells - 1)  # masked points sort last
+    order = jnp.argsort(linear)
+    sorted_linear = linear[order]
+    counts = jax.ops.segment_sum(
+        jnp.ones((m,), jnp.int32), sorted_linear, num_segments=max_cells
+    )
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
     return HashGrid(
         points=jnp.take(ref, order, axis=0),
         index=order.astype(jnp.int32),
-        hashes=jnp.take(h, order),
-        cell=cell,
+        starts=starts,
+        dims=dims,
+        cell=cell_eff,
         origin=origin,
+        m_valid=jnp.sum(mask.astype(jnp.int32)),
     )
 
 
@@ -96,22 +122,14 @@ def hash_grid_knn(
     radius: jax.Array | float,
     k: int = 1,
     *,
-    cap: int = 64,
-    query_block: int = 4096,
+    cap: int = 32,
+    query_block: int = 8192,
     exclude_self: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """k nearest reference points within ``radius`` of each query.
 
-    Args:
-        query: (n, 3).
-        grid: a :class:`HashGrid` built with cell >= radius.
-        radius: search radius (entries beyond it come back +inf).
-        k: neighbours per query.
-        cap: per-cell candidate cap (static). Runs longer than this are
-            truncated and counted in ``overflow``.
-        query_block: queries per chunk (bounds the (B, 27*cap) tables).
-        exclude_self: drop candidates at the query's own original index
-            (for self-searches where query == ref).
+    Requires ``grid.cell >= radius`` (guaranteed when the grid was built
+    with ``cell=radius``; the builder only ever grows the edge).
 
     Returns:
         sqdist: (n, k) ascending squared distances (+inf past radius/cap).
@@ -122,55 +140,79 @@ def hash_grid_knn(
     m = grid.points.shape[0]
     radius = jnp.asarray(radius, query.dtype)
     offsets = _neighbor_offsets()  # (27, 3)
+    dims = grid.dims
+
+    # Sort queries by cell id for coherent candidate access.
+    qcell_all = jnp.clip(
+        jnp.floor((query - grid.origin) / grid.cell).astype(jnp.int32),
+        0,
+        dims - 1,
+    )
+    qlin = (qcell_all[:, 0] * dims[1] + qcell_all[:, 1]) * dims[2] + qcell_all[:, 2]
+    qorder = jnp.argsort(qlin)
+    q_sorted = jnp.take(query, qorder, axis=0)
+    qcell_sorted = jnp.take(qcell_all, qorder, axis=0)
+    qrows_sorted = qorder.astype(jnp.int32)
 
     nb = -(-n // query_block)
     n_pad = nb * query_block
-    qp = jnp.pad(query, ((0, n_pad - n), (0, 0)))
-    q_rows = jnp.arange(n_pad).reshape(nb, query_block)
+    qp = jnp.pad(q_sorted, ((0, n_pad - n), (0, 0)))
+    qc = jnp.pad(qcell_sorted, ((0, n_pad - n), (0, 0)))
+    qr = jnp.pad(qrows_sorted, (0, n_pad - n))
 
     def one_block(args):
-        q, rows = args  # (B, 3), (B,)
-        qcell = jnp.floor(q / grid.cell).astype(jnp.int32)  # (B, 3)
-        cells27 = qcell[:, None, :] + offsets[None, :, :]  # (B, 27, 3)
-        h27 = _cell_hash(cells27)  # (B, 27) uint32
-        starts = jnp.searchsorted(grid.hashes, h27.reshape(-1)).reshape(
-            h27.shape
-        )  # (B, 27)
-        lane = jnp.arange(cap)  # (cap,)
+        q, qcell, rows = args  # (B, 3), (B, 3), (B,)
         B = q.shape[0]
-        pos = (starts[..., None] + lane).reshape(B, 27 * cap)  # (B, 27C)
+        nc = qcell[:, None, :] + offsets[None, :, :]  # (B, 27, 3)
+        in_grid = jnp.all((nc >= 0) & (nc < dims[None, None, :]), axis=-1)
+        ncl = jnp.clip(nc, 0, dims - 1)
+        nlin = (ncl[..., 0] * dims[1] + ncl[..., 1]) * dims[2] + ncl[..., 2]
+        start = jnp.take(grid.starts, nlin)  # (B, 27)
+        end = jnp.take(grid.starts, nlin + 1)
+        start = jnp.where(in_grid, start, 0)
+        end = jnp.where(in_grid, end, 0)
+        run_over = jnp.sum((end - start > cap).astype(jnp.int32))
+
+        lane = jnp.arange(cap)
+        pos = (start[..., None] + lane).reshape(B, 27 * cap)
+        valid = pos < jnp.repeat(end, cap, axis=1)
         pos_c = jnp.clip(pos, 0, m - 1)
-        cand_hash = jnp.take(grid.hashes, pos_c)  # (B, 27C)
-        h27r = jnp.repeat(h27, cap, axis=1)  # (B, 27C)
-        in_run = (cand_hash == h27r) & (pos < m)
-        # Overflow: run continues past the cap window.
-        nxt = jnp.clip(starts + cap, 0, m - 1)
-        run_over = (jnp.take(grid.hashes, nxt) == h27) & (starts + cap < m)
-        # Distances accumulated per coordinate over (B, 27C) planes — never
-        # materialise a (..., 3) minor axis (it pads 3 -> 128 lanes on TPU).
+        # Per-coordinate distance planes (no (...,3) minor axis).
         d2 = None
         for d in range(3):
             cd = jnp.take(grid.points[:, d], pos_c) - q[:, None, d]
             d2 = cd * cd if d2 is None else d2 + cd * cd
-        cand_idx = jnp.take(grid.index, pos_c)  # original indices
-        bad = ~in_run | (d2 > radius * radius)
+        cand_idx = jnp.take(grid.index, pos_c)
+        bad = ~valid | (d2 > radius * radius)
         if exclude_self:
             bad = bad | (cand_idx == rows[:, None])
-        d2f = jnp.where(bad, jnp.inf, d2)
-        idxf = cand_idx
-        neg, sel = jax.lax.top_k(-d2f, k)
-        best_i = jnp.take_along_axis(idxf, sel, axis=1)
-        best_d = -neg
+        d2 = jnp.where(bad, jnp.inf, d2)
+        if k == 1:
+            best = jnp.argmin(d2, axis=1)
+            best_d = jnp.take_along_axis(d2, best[:, None], axis=1)
+            best_i = jnp.take_along_axis(cand_idx, best[:, None], axis=1)
+        else:
+            neg, sel = jax.lax.top_k(-d2, k)
+            best_d = -neg
+            best_i = jnp.take_along_axis(cand_idx, sel, axis=1)
         best_i = jnp.where(jnp.isfinite(best_d), best_i, 0)
-        return best_d, best_i, jnp.sum(run_over.astype(jnp.int32))
+        return best_d, best_i, run_over
 
     if nb == 1:
-        d, i, ov = one_block((qp, q_rows[0]))
+        d, i, ov = one_block((qp, qc, qr))
     else:
         d, i, ov = jax.lax.map(
-            one_block, (qp.reshape(nb, query_block, 3), q_rows)
+            one_block,
+            (
+                qp.reshape(nb, query_block, 3),
+                qc.reshape(nb, query_block, 3),
+                qr.reshape(nb, query_block),
+            ),
         )
         d = d.reshape(n_pad, k)
         i = i.reshape(n_pad, k)
         ov = jnp.sum(ov)
-    return d[:n], i[:n], ov
+    # Scatter back to original query order.
+    d_out = jnp.zeros((n, k), d.dtype).at[qorder].set(d[:n])
+    i_out = jnp.zeros((n, k), i.dtype).at[qorder].set(i[:n])
+    return d_out, i_out, ov

@@ -255,13 +255,31 @@ def run_f2s3_tile(
             "tile %s: median_res=%.4f, patch radius=%.4f", tile_id, median_res, radius
         )
 
-    # 2. DIPs features.
-    src_feat = np.asarray(
-        compute_dips_features(dips_params, jnp.asarray(s), jnp.asarray(sh), radius, k_feat_s)
+    # 2. DIPs features — with the reference's artifact-level resume: cached
+    # as features_tile_N.npz, recomputation skipped when feat_compute=False
+    # (f2s3.py:97-101, 139-149).
+    feat_cache = osp.join(
+        str(cfg.get("output_dir", ".")),
+        str(cfg.get("output_folder", "run")),
+        "features",
+        f"features_tile_{tile_id}.npz",
     )
-    tgt_feat = np.asarray(
-        compute_dips_features(dips_params, jnp.asarray(t), jnp.asarray(th), radius, k_feat_t)
-    )
+    if not cfg.get("feat_compute", True) and osp.exists(feat_cache):
+        cached = np.load(feat_cache)
+        src_feat = cached["src_feat"]
+        tgt_feat = cached["tgt_feat"]
+        if logger:
+            logger.info("tile %s: features loaded from %s", tile_id, feat_cache)
+    else:
+        src_feat = np.asarray(
+            compute_dips_features(dips_params, jnp.asarray(s), jnp.asarray(sh), radius, k_feat_s)
+        )
+        tgt_feat = np.asarray(
+            compute_dips_features(dips_params, jnp.asarray(t), jnp.asarray(th), radius, k_feat_t)
+        )
+        if cfg.get("save_interim", False):
+            os.makedirs(osp.dirname(feat_cache), exist_ok=True)
+            np.savez_compressed(feat_cache, src_feat=src_feat, tgt_feat=tgt_feat)
 
     # 3. Supervoxel segmentation of the source (f2s3.py:183-189).
     svl_radius = max(radius, float(cfg.get("voxel_size", 0.0)))

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""RGB-guided driver (reference: main_rgb_guided.py): dense image matching
+lifted to 3D + supervoxel-wise rigid refinement.
+
+Usage: python main_rgb_guided.py --config configs/landslide/rgb_guided_brienz.yaml
+"""
+
+import argparse
+
+from fusion4landslide_tpu.utils.platform import apply_platform_from_env
+
+apply_platform_from_env()
+import os.path as osp
+import time
+
+import numpy as np
+
+from fusion4landslide_tpu.image.cameras import load_extrinsics, load_intrinsic
+from fusion4landslide_tpu.io.ply import read_ply
+from fusion4landslide_tpu.pipelines.driver import (
+    ensure_tiles,
+    list_tiles,
+    log_config,
+    setup_run,
+)
+from fusion4landslide_tpu.pipelines.rgb_guided import run_rgb_guided_tile
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config",
+        type=str,
+        default="./configs/landslide/rgb_guided_brienz.yaml",
+        help="Path to config file.",
+    )
+    args = parser.parse_args()
+    cfg, logger = setup_run(args.config, "rgb_guided")
+    log_config(cfg, logger)
+
+    start = time.time()
+    ensure_tiles(cfg, logger)
+    tiles = list_tiles(cfg, overlap=True)
+    logger.info("Num. of tile(s): %d", len(tiles))
+
+    input_root = cfg.get("input_root") or cfg.get("data_dir")
+    intrinsic = load_intrinsic(input_root)
+    src_ext, tgt_ext = load_extrinsics(
+        input_root,
+        cfg.get("dataset"),
+        coord_type=cfg.get("coord_type", "PRCS"),
+        src_pose=cfg.get("src_pose"),
+        tgt_pose=cfg.get("tgt_pose"),
+    )
+    src_img = load_image(
+        osp.join(input_root, "image", "raw_images", cfg.get("src_image"))
+    )
+    tgt_img = load_image(
+        osp.join(input_root, "image", "raw_images", cfg.get("tgt_image"))
+    )
+
+    for tile_id, src_path, tgt_path in tiles:
+        logger.info("Processing tile %s", tile_id)
+        src = read_ply(src_path)
+        tgt = read_ply(tgt_path)
+        run_rgb_guided_tile(
+            cfg,
+            src.points,
+            tgt.points,
+            src_img,
+            tgt_img,
+            intrinsic,
+            src_ext,
+            tgt_ext,
+            tile_id=tile_id,
+            logger=logger,
+        )
+
+    elapsed = time.time() - start
+    logger.info(
+        "Displacement estimation done. Results in '%s'. "
+        "Total time: %.2f hours (%.1f s).",
+        cfg.output_root,
+        elapsed / 3600,
+        elapsed,
+    )
+
+
+if __name__ == "__main__":
+    main()
