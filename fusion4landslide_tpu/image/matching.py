@@ -213,17 +213,43 @@ def match_epoch_images(
     return merged[np.sort(first)]
 
 
-MATCHERS = {"zncc": zncc_grid_match}
+def _loftr_matcher(img0, img1, *, params=None, match_threshold=0.2, **_):
+    """Learned LoFTR-family matcher (fusion4landslide_tpu.image.loftr).
+
+    Without converted upstream weights, random-initialised parameters are
+    used — functional but weak; prefer 'zncc' until weights are supplied.
+    """
+    import jax
+
+    from fusion4landslide_tpu.image.loftr import LoFTRMatcher, loftr_match
+
+    model = LoFTRMatcher()
+    if params is None:
+        import warnings
+
+        warnings.warn(
+            "loftr matcher running with random-initialised weights; convert "
+            "an upstream checkpoint (image.loftr.load_torch_loftr) for "
+            "production matching", stacklevel=2,
+        )
+        dummy = np.zeros((64, 64), np.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    uv, _conf = loftr_match(
+        params, img0, img1, model=model, match_threshold=match_threshold
+    )
+    return uv
+
+
+MATCHERS = {"zncc": zncc_grid_match, "loftr": _loftr_matcher}
 
 
 def get_matcher(name: str):
-    """Look up a matcher by name ('zncc'; 'eloftr'/'roma' slots reserved for
-    the learned-port drop-ins)."""
+    """Look up a matcher by name: 'zncc' (classical DIC, production default)
+    or 'loftr' (learned coarse-to-fine; reference's ELoFTR/RoMa role)."""
     try:
         return MATCHERS[name.lower()]
     except KeyError as e:
         raise NotImplementedError(
             f"image matcher '{name}' is not available; options: "
-            f"{sorted(MATCHERS)} (learned matchers land as ports of the "
-            "reference's EfficientLoFTR/RoMa submodules)"
+            f"{sorted(MATCHERS)}"
         ) from e

@@ -19,6 +19,16 @@ from fusion4landslide_tpu.ops.voxel import (
     segment_mean,
     voxel_downsample,
 )
+from fusion4landslide_tpu.ops.hashgrid import build_hash_grid, hash_grid_knn
+from fusion4landslide_tpu.ops.icp import ICPResult, icp_point2point
+from fusion4landslide_tpu.ops.normals import pca_normals
+from fusion4landslide_tpu.ops.registration import (
+    colored_icp,
+    icp_point2plane,
+    ransac_registration,
+)
+from fusion4landslide_tpu.ops.segments import bucket_size, label_members
+from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
 
 __all__ = [
     "weighted_kabsch",
@@ -34,4 +44,15 @@ __all__ = [
     "group_by_cells",
     "segment_mean",
     "voxel_downsample",
+    "build_hash_grid",
+    "hash_grid_knn",
+    "ICPResult",
+    "icp_point2point",
+    "icp_point2plane",
+    "colored_icp",
+    "ransac_registration",
+    "pca_normals",
+    "supervoxel_segmentation",
+    "label_members",
+    "bucket_size",
 ]

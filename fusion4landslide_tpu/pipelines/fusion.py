@@ -387,12 +387,56 @@ def run_fusion3d_tile(
     merged_rmse = np.zeros(n_src_pts, np.float32)
     per_level_stats = []
 
+    # Precomputed superpoint partitions (reference partition_type=
+    # 'superpoint', files written by the SPT bridge or any external tool in
+    # the 15-column format — base:1241-1276): labels are defined on the tile
+    # points and transferred to voxels via each voxel's first member point.
+    partition_type = str(cfg.get("partition_type", "supervoxel"))
+    spt_src_path = osp.join(
+        out_root, f"{partition_type}_partition",
+        f"partition_of_input_src_tile_{tile_id}.txt",
+    )
+    spt_tgt_path = osp.join(
+        out_root, f"{partition_type}_partition",
+        f"partition_of_input_tgt_tile_{tile_id}.txt",
+    )
+    use_spt_files = (
+        partition_type == "superpoint"
+        and osp.exists(spt_src_path)
+        and osp.exists(spt_tgt_path)
+    )
+    if partition_type == "superpoint" and not use_spt_files and logger:
+        logger.warning(
+            "partition_type=superpoint but %s not found — falling back to "
+            "supervoxel partitioning", spt_src_path,
+        )
+    if use_spt_files:
+        from fusion4landslide_tpu.ops.partition_io import read_superpoint_partition
+
+        # Representative (first) point per voxel carries its labels.
+        first_pt_of_vox_s = np.zeros(s_nv, np.int64)
+        first_pt_of_vox_s[s_p2v[::-1][s_p2v[::-1] < s_nv]] = np.arange(
+            len(s_p2v)
+        )[::-1][s_p2v[::-1] < s_nv]
+        first_pt_of_vox_t = np.zeros(t_nv, np.int64)
+        first_pt_of_vox_t[t_p2v[::-1][t_p2v[::-1] < t_nv]] = np.arange(
+            len(t_p2v)
+        )[::-1][t_p2v[::-1] < t_nv]
+
     for level in levels:
-        svl_radius = base_svl_radius * (2.0 ** (int(level) - 1))
-        seg_s = supervoxel_segmentation(jnp.asarray(src_vox), svl_radius)
-        seg_t = supervoxel_segmentation(jnp.asarray(tgt_vox), svl_radius)
-        lab_s, n_s = _compact_labels(np.asarray(seg_s.labels), small_patch)
-        lab_t, n_t = _compact_labels(np.asarray(seg_t.labels), small_patch)
+        if use_spt_files:
+            _, pt_lab_s = read_superpoint_partition(spt_src_path, int(level))
+            _, pt_lab_t = read_superpoint_partition(spt_tgt_path, int(level))
+            raw_s = pt_lab_s[first_pt_of_vox_s]
+            raw_t = pt_lab_t[first_pt_of_vox_t]
+        else:
+            svl_radius = base_svl_radius * (2.0 ** (int(level) - 1))
+            seg_s = supervoxel_segmentation(jnp.asarray(src_vox), svl_radius)
+            seg_t = supervoxel_segmentation(jnp.asarray(tgt_vox), svl_radius)
+            raw_s = np.asarray(seg_s.labels)
+            raw_t = np.asarray(seg_t.labels)
+        lab_s, n_s = _compact_labels(raw_s, small_patch)
+        lab_t, n_t = _compact_labels(raw_t, small_patch)
         if n_s == 0 or n_t == 0:
             per_level_stats.append((level, 0, 0))
             continue
