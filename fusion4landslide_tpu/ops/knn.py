@@ -73,9 +73,6 @@ def _merge_topk(
     return -neg_d, jnp.take_along_axis(cat_i, pos, axis=1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "ref_chunk", "query_block", "exclude_self")
-)
 def knn(
     query: jax.Array,
     ref: jax.Array,
@@ -85,6 +82,7 @@ def knn(
     ref_chunk: int = 4096,
     query_block: int = 8192,
     exclude_self: bool = False,
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbours of each query row among reference rows.
 
@@ -96,12 +94,51 @@ def knn(
         ref_chunk: reference rows per scan step.
         query_block: query rows per ``lax.map`` block.
         exclude_self: mask candidate j for query i when i == j (self-search).
+        use_pallas: force (True) or forbid (False) the Pallas TPU kernel;
+            None auto-selects it for feature-dim inputs on a TPU backend.
 
     Returns:
         sqdist: (n, k) squared distances, ascending.
         idx: (n, k) reference indices (into ``ref``); masked/padded slots have
             distance +inf and index 0 — gate on ``isfinite(sqdist)``.
     """
+    if use_pallas is None:
+        use_pallas = query.shape[-1] > _DIFF_DIM_MAX and k <= 128
+    if use_pallas:
+        from fusion4landslide_tpu.ops.knn_pallas import (
+            knn_pallas,
+            pallas_available,
+        )
+
+        if pallas_available():
+            return knn_pallas(
+                query, ref, k, ref_mask, exclude_self=exclude_self
+            )
+    return _knn_xla(
+        query,
+        ref,
+        k,
+        ref_mask,
+        ref_chunk=ref_chunk,
+        query_block=query_block,
+        exclude_self=exclude_self,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ref_chunk", "query_block", "exclude_self")
+)
+def _knn_xla(
+    query: jax.Array,
+    ref: jax.Array,
+    k: int,
+    ref_mask: jax.Array | None = None,
+    *,
+    ref_chunk: int = 4096,
+    query_block: int = 8192,
+    exclude_self: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Pure-XLA blocked kNN (CPU fallback + small-dim spatial path)."""
     n, d = query.shape
     m = ref.shape[0]
     ref_chunk = min(ref_chunk, max(m, 1))
