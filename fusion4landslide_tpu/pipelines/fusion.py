@@ -1,11 +1,14 @@
-"""Coarse-to-fine fusion pipeline (3D path): superpoint partition + learned
-coarse patch matching + fine per-patch SVD/ICP refinement.
+"""Coarse-to-fine fusion pipeline: superpoint partition + learned coarse
+patch matching + fine per-patch SVD/ICP refinement — RGB+3D fusion
+(``run_fusion_tile``) and 3D-only (``run_fusion3d_tile``).
 
 Capability parity with the reference ``Coarse2Fine`` flagship
 (src/coarse_to_fine_matching.py:195-308 + src/coarse_to_fine_matching_base.py,
-driven by main_fusion.py) in its shippable 3D configuration
-(``fusion_3d``: use_2d_matches=False, use_normal_3d_aggregation, supervoxel
-partition — fusion_3d_brienz.yaml). Stage map:
+driven by main_fusion.py), in both shippable configurations: the full fusion
+method (use_2d_matches=True — dense 2D pixel matches lifted to 3D fuse with
+learned 3D matches at the coarse vote and fine SVD stages) and ``fusion_3d``
+(use_2d_matches=False, use_normal_3d_aggregation, supervoxel partition —
+fusion_3d_brienz.yaml). Stage map:
 
 1. adaptive voxel subsampling, voxel<->point maps (base:1012-1057),
 2. DIPs descriptors on the voxel cloud (base:1965-2049),
@@ -58,8 +61,10 @@ from fusion4landslide_tpu.pipelines.f2s3 import compute_dips_features
 __all__ = [
     "global_matches_3d",
     "coarse_match_superpoints",
+    "coarse_match_2d_votes",
     "fine_match_pairs",
     "run_fusion3d_tile",
+    "run_fusion_tile",
 ]
 
 
@@ -149,7 +154,7 @@ class FinePairResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pair_chunk", "icp_max_iter"),
+    static_argnames=("pair_chunk", "icp_max_iter", "weighting"),
 )
 def fine_match_pairs(
     src_members: jax.Array,  # (Pairs, P) src voxel indices per patch
@@ -161,6 +166,9 @@ def fine_match_pairs(
     src_vox: jax.Array,  # (Vs, 3)
     tgt_vox: jax.Array,  # (Vt, 3)
     *,
+    corres2_tgt_idx: jax.Array | None = None,  # (Vs,) 2nd channel (2D matches)
+    corres2_valid: jax.Array | None = None,
+    weighting: bool = False,
     num_min_quality: int | jax.Array = 10,
     thres_dist_diff: float | jax.Array = 0.5,
     thres_inlier_ratio: float | jax.Array = 0.15,
@@ -169,8 +177,18 @@ def fine_match_pairs(
     icp_max_iter: int = 30,
     pair_chunk: int = 32,
 ) -> FinePairResult:
-    """Per matched patch pair: quality gate + SVD + ICP (base:3254-3436)."""
+    """Per matched patch pair: quality gate + SVD + ICP (base:3254-3436).
+
+    With a second correspondence channel (``corres2_*`` — the fusion
+    method's 3D-matches-from-2D-pixels), each patch member contributes up
+    to two point matches, concatenated as the reference does
+    (base:3273-3275). ``weighting=True`` reproduces ``weighting_svd``:
+    3D matches weigh n3d/(n3d+n2d), 2D matches the complement
+    (base:3283-3293; the reference's debug override pinning 2D weights to
+    0.01 is not replicated).
+    """
     Pairs, P = src_members.shape
+    fusion2 = corres2_tgt_idx is not None
 
     def one_pair(members, mmask, tgt_label):
         w = jnp.take(corres_tgt_idx, members)
@@ -181,6 +199,28 @@ def fine_match_pairs(
         )
         src_m = jnp.take(src_vox, members, axis=0)
         tgt_m = jnp.take(tgt_vox, w, axis=0)
+        wts = mv.astype(src_m.dtype)
+        if fusion2:
+            w2 = jnp.take(corres2_tgt_idx, members)
+            mv2 = (
+                mmask
+                & jnp.take(corres2_valid, members)
+                & (jnp.take(tgt_vox_label, w2) == tgt_label)
+            )
+            n3 = jnp.sum(mv)
+            n2 = jnp.sum(mv2)
+            if weighting:
+                w3d = n3 / jnp.maximum(n3 + n2, 1)
+                wts = jnp.concatenate(
+                    [w3d * mv, (1.0 - w3d) * mv2.astype(src_m.dtype)]
+                )
+            else:
+                wts = jnp.concatenate([mv, mv2]).astype(src_m.dtype)
+            src_m = jnp.concatenate([src_m, src_m], axis=0)
+            tgt_m = jnp.concatenate(
+                [tgt_m, jnp.take(tgt_vox, w2, axis=0)], axis=0
+            )
+            mv = jnp.concatenate([mv, mv2])
         n_match = jnp.sum(mv)
 
         # Isometry quality gate (base:3310-3323): mean and inlier ratio of
@@ -194,7 +234,7 @@ def fine_match_pairs(
 
         diff = jnp.abs(pd2(src_m) - pd2(tgt_m))
         pair_ok = mv[:, None] & mv[None, :]
-        off_diag = ~jnp.eye(P, dtype=bool)
+        off_diag = ~jnp.eye(src_m.shape[0], dtype=bool)
         wgt = (pair_ok & off_diag).astype(src_m.dtype)
         n_off = jnp.maximum(jnp.sum(wgt), 1.0)
         dist_mean = jnp.sum(diff * wgt) / n_off
@@ -207,7 +247,7 @@ def fine_match_pairs(
         )
 
         # SVD fit then ICP seeded with it (base:3341-3360).
-        R0, t0, _, _ = weighted_kabsch(src_m, tgt_m, mv.astype(src_m.dtype))
+        R0, t0, _, _ = weighted_kabsch(src_m, tgt_m, wts)
         icp = icp_point2point(
             src_m,
             tgt_m,
@@ -260,6 +300,31 @@ def _compact_labels(labels: np.ndarray, min_count: int) -> tuple[np.ndarray, int
     return out, int(keep.sum())
 
 
+def coarse_match_2d_votes(
+    lab_s: np.ndarray,  # (Vs,) src voxel superpoint labels (-1 = none)
+    lab_t: np.ndarray,  # (Vt,) tgt voxel superpoint labels
+    c2d_idx: np.ndarray,  # (Vs,) 2D-matched tgt voxel per src voxel
+    c2d_valid: np.ndarray,  # (Vs,)
+    n_s: int,
+    n_t: int,
+    min_votes: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Majority vote of per-point 2D matches into target superpoints
+    (base:3019-3070): each src voxel with a valid 2D match votes its matched
+    tgt voxel's superpoint; each src superpoint takes the most-voted one.
+
+    Returns (tgt_label_of_src_label (n_s,), valid (n_s,)).
+    """
+    ok = c2d_valid & (lab_s >= 0)
+    tlab = lab_t[np.clip(c2d_idx, 0, max(len(lab_t) - 1, 0))]
+    ok = ok & (tlab >= 0)
+    votes = np.zeros((n_s, n_t), np.int32)
+    np.add.at(votes, (lab_s[ok], tlab[ok]), 1)
+    best = votes.argmax(axis=1)
+    cnt = votes[np.arange(n_s), best]
+    return best, cnt >= max(min_votes, 1)
+
+
 def run_fusion3d_tile(
     cfg,
     dips_params,
@@ -273,11 +338,92 @@ def run_fusion3d_tile(
     logger=None,
     rng_seed: int = 0,
 ) -> dict:
-    """One tile of the fusion_3d pipeline. ``cfg`` keys follow the reference
-    fusion YAML schema (max_magnitude, icp_threshold, level_of_superpoint,
-    num_min_fine_match, num_min_matches_for_quality_check, thres_dist_diff,
-    thres_inlier_ratio, num_min_matches_for_small_patch, voxel_size_init,
+    """One tile of the fusion_3d pipeline (use_2d_matches=False). ``cfg``
+    keys follow the reference fusion YAML schema (max_magnitude,
+    icp_threshold, level_of_superpoint, num_min_fine_match,
+    num_min_matches_for_quality_check, thres_dist_diff, thres_inlier_ratio,
+    num_min_matches_for_small_patch, voxel_size_init,
     output_dir/output_folder, dataset, assign_type, output_tgt2src)."""
+    return _fusion_tile_core(
+        cfg,
+        dips_params,
+        agg_params,
+        src_core,
+        tgt_core,
+        image_data=None,
+        src_halo=src_halo,
+        tgt_halo=tgt_halo,
+        tile_id=tile_id,
+        logger=logger,
+        rng_seed=rng_seed,
+    )
+
+
+def run_fusion_tile(
+    cfg,
+    dips_params,
+    agg_params,
+    src_core: np.ndarray,
+    tgt_core: np.ndarray,
+    src_image: np.ndarray,
+    tgt_image: np.ndarray,
+    intrinsic: np.ndarray,
+    src_extrinsic: np.ndarray,
+    tgt_extrinsic: np.ndarray,
+    *,
+    corres_2d: np.ndarray | None = None,
+    src_halo: np.ndarray | None = None,
+    tgt_halo: np.ndarray | None = None,
+    tile_id: int | str = 0,
+    logger=None,
+    rng_seed: int = 0,
+) -> dict:
+    """One tile of the full RGB+3D fusion pipeline (use_2d_matches=True,
+    main_fusion.py flagship): 3D learned matches fused with 3D matches
+    lifted from dense 2D pixel matching, at both the coarse (superpoint
+    vote, base:3015-3070) and fine (concatenated point matches,
+    base:3258-3296) stages. ``corres_2d`` injects precomputed (M, 4) pixel
+    matches (the reference's ``img_matching_result_dir`` path); otherwise
+    the configured ``img_matching_type`` matcher runs on the image pair."""
+    image_data = {
+        "src_image": src_image,
+        "tgt_image": tgt_image,
+        "intrinsic": np.asarray(intrinsic, np.float32),
+        "src_extrinsic": np.asarray(src_extrinsic, np.float32),
+        "tgt_extrinsic": np.asarray(tgt_extrinsic, np.float32),
+        "corres_2d": corres_2d,
+    }
+    return _fusion_tile_core(
+        cfg,
+        dips_params,
+        agg_params,
+        src_core,
+        tgt_core,
+        image_data=image_data,
+        src_halo=src_halo,
+        tgt_halo=tgt_halo,
+        tile_id=tile_id,
+        logger=logger,
+        rng_seed=rng_seed,
+    )
+
+
+def _fusion_tile_core(
+    cfg,
+    dips_params,
+    agg_params,
+    src_core: np.ndarray,
+    tgt_core: np.ndarray,
+    *,
+    image_data: dict | None = None,
+    src_halo: np.ndarray | None = None,
+    tgt_halo: np.ndarray | None = None,
+    tile_id: int | str = 0,
+    logger=None,
+    rng_seed: int = 0,
+) -> dict:
+    """Shared coarse-to-fine tile solve; the 2D-match channel is active when
+    ``image_data`` is given (fusion) and absent for fusion_3d."""
     from fusion4landslide_tpu.io.results import (
         dvf_magnitudes,
         save_dvfms,
@@ -358,6 +504,88 @@ def run_fusion3d_tile(
     )
     results_dir = osp.join(out_root, "results")
     os.makedirs(results_dir, exist_ok=True)
+
+    # --- 3b. Global 3D voxel matches from 2D pixel matches (fusion only;
+    # base:1480-1675): project voxel clouds into the images, run/ingest the
+    # dense 2D matcher, chain pixels to 3D point pairs, magnitude-gate.
+    c2d_idx = c2d_valid = None
+    if image_data is not None:
+        from fusion4landslide_tpu.image.geometry import (
+            chain_2d_matches_to_3d,
+            project_points,
+        )
+        from fusion4landslide_tpu.image.matching import match_epoch_images
+
+        image_size = tuple(
+            cfg.get("image_size") or image_data["src_image"].shape[:2]
+        )
+        pixel_thres = float(cfg.get("pixel_thres", 5))
+        v_flip = str(cfg.get("dataset", "")).lower() != "rockfall_simulator"
+        uv_s, _, pval_s = project_points(
+            jnp.asarray(src_vox + center.astype(np.float32)),
+            jnp.asarray(image_data["src_extrinsic"]),
+            jnp.asarray(image_data["intrinsic"]),
+            image_size,
+            v_flip=v_flip,
+        )
+        uv_t, _, pval_t = project_points(
+            jnp.asarray(tgt_vox + center.astype(np.float32)),
+            jnp.asarray(image_data["tgt_extrinsic"]),
+            jnp.asarray(image_data["intrinsic"]),
+            image_size,
+            v_flip=v_flip,
+        )
+        corres_2d = image_data.get("corres_2d")
+        if corres_2d is None:
+            corres_2d = match_epoch_images(
+                image_data["src_image"],
+                image_data["tgt_image"],
+                matcher=str(cfg.get("img_matching_type", "zncc")).lower(),
+                crop_size=tuple(cfg["crop_size"]) if cfg.get("crop_size") else None,
+                overlap_size=tuple(cfg["overlap_size"])
+                if cfg.get("overlap_size")
+                else None,
+            )
+        if len(corres_2d):
+            t2d, v2d = chain_2d_matches_to_3d(
+                jnp.asarray(np.asarray(corres_2d, np.float32)),
+                uv_s,
+                uv_t,
+                pixel_thres,
+                src_valid=pval_s,
+                tgt_valid=pval_t,
+            )
+            c2d_idx = np.asarray(t2d)
+            mag2d = np.linalg.norm(
+                tgt_vox[np.clip(c2d_idx, 0, max(t_nv - 1, 0))] - src_vox, axis=1
+            )
+            c2d_valid = np.asarray(v2d) & (mag2d <= max_mag)
+        else:
+            c2d_idx = np.zeros(s_nv, np.int32)
+            c2d_valid = np.zeros(s_nv, bool)
+        if logger:
+            logger.info(
+                "tile %s: %d 2D pixel matches -> %d lifted 3D voxel matches",
+                tile_id, len(corres_2d), int(c2d_valid.sum()),
+            )
+        # Interim artifact: 2D-only dvfms pre-pruning (base:1531-1557).
+        if c2d_valid.any():
+            interim2d = np.hstack(
+                [
+                    src_vox[c2d_valid] + center,
+                    np.linalg.norm(
+                        tgt_vox[c2d_idx[c2d_valid]] - src_vox[c2d_valid],
+                        axis=1,
+                    )[:, None],
+                ]
+            )
+            np.savetxt(
+                osp.join(
+                    results_dir,
+                    f"c2f_dvfms_from_global_2d_src2tgt_wo_pruning_visualize_tile_{tile_id}.txt",
+                ),
+                visual_clamp_magnitude(interim2d, cfg.get("dataset")),
+            )
     # Interim artifact: global-3D dvfms pre-pruning (base:2908-2920).
     interim = np.hstack(
         [
@@ -464,26 +692,67 @@ def run_fusion3d_tile(
         ) / jnp.maximum(jnp.sum(w_t, axis=1), 1.0)
         valid_s = jnp.arange(S_s) < n_s
         valid_t = jnp.arange(S_t) < n_t
-        tgt_of_src, pair_valid = coarse_match_superpoints(
-            spt_feat_s, spt_coord_s, valid_s,
-            spt_feat_t, spt_coord_t, valid_t,
-            max_mag,
+        # Coarse mode (reference config coarse_matching_{fusion,only_3d,
+        # only_2d}; fusion is the default for the RGB+3D method).
+        has_2d = c2d_idx is not None
+        coarse_only_2d = bool(cfg.get("coarse_matching_only_2d", False)) and has_2d
+        coarse_fusion = (
+            bool(cfg.get("coarse_matching_fusion", has_2d))
+            and has_2d
+            and not coarse_only_2d
         )
-        tgt_of_src = np.asarray(tgt_of_src)
-        pair_valid = np.asarray(pair_valid)
+        pair_list = []
+        if not coarse_only_2d:
+            tgt_of_src, pair_valid = coarse_match_superpoints(
+                spt_feat_s, spt_coord_s, valid_s,
+                spt_feat_t, spt_coord_t, valid_t,
+                max_mag,
+            )
+            tgt_of_src = np.asarray(tgt_of_src)
+            pair_valid = np.asarray(pair_valid)
+            src_3d = np.where(pair_valid[:n_s])[0]
+            pair_list.append(np.stack([src_3d, tgt_of_src[src_3d]], axis=1))
+        if coarse_fusion or coarse_only_2d:
+            vote_tgt, vote_ok = coarse_match_2d_votes(
+                lab_s, lab_t, c2d_idx, c2d_valid, n_s, n_t
+            )
+            src_2d = np.where(vote_ok)[0]
+            pair_list.append(np.stack([src_2d, vote_tgt[src_2d]], axis=1))
+        pairs = (
+            np.unique(np.concatenate(pair_list, axis=0), axis=0)
+            if pair_list
+            else np.zeros((0, 2), np.int64)
+        )
 
         # --- 6. Fine matching over valid pairs.
-        pair_src = np.where(pair_valid[:n_s])[0]
+        pair_src = pairs[:, 0]
         if pair_src.size == 0:
             per_level_stats.append((level, n_s, 0))
             continue
-        pair_tgt = tgt_of_src[pair_src]
+        pair_tgt = pairs[:, 1]
+        fine_only_2d = bool(cfg.get("fine_matching_only_2d", False)) and has_2d
+        fine_fusion = (
+            bool(cfg.get("fine_matching_fusion", has_2d))
+            and has_2d
+            and not fine_only_2d
+        )
+        if fine_only_2d:
+            ch1_idx, ch1_valid = c2d_idx, c2d_valid
+        else:
+            ch1_idx, ch1_valid = g_idx, g_valid
+        fine_kw = {}
+        if fine_fusion:
+            fine_kw = dict(
+                corres2_tgt_idx=jnp.asarray(c2d_idx, jnp.int32),
+                corres2_valid=jnp.asarray(c2d_valid),
+                weighting=bool(cfg.get("weighting_svd", False)),
+            )
         fine = fine_match_pairs(
             jnp.take(mem_s, jnp.asarray(pair_src), axis=0),
             jnp.take(memmask_s, jnp.asarray(pair_src), axis=0),
             jnp.asarray(pair_tgt, jnp.int32),
-            jnp.asarray(g_idx, jnp.int32),
-            jnp.asarray(g_valid),
+            jnp.asarray(ch1_idx, jnp.int32),
+            jnp.asarray(ch1_valid),
             jnp.asarray(lab_t, jnp.int32),
             jnp.asarray(src_vox),
             jnp.asarray(tgt_vox),
@@ -492,6 +761,7 @@ def run_fusion3d_tile(
             thres_inlier_ratio=thres_ir,
             num_min_fine=num_min_fine,
             icp_threshold=icp_thr,
+            **fine_kw,
         )
         fR = np.asarray(fine.R)
         ft = np.asarray(fine.t)

@@ -23,7 +23,10 @@ from fusion4landslide_tpu.pipelines.driver import (
     log_config,
     setup_run,
 )
-from fusion4landslide_tpu.pipelines.fusion import run_fusion3d_tile
+from fusion4landslide_tpu.pipelines.fusion import (
+    run_fusion3d_tile,
+    run_fusion_tile,
+)
 
 
 def load_model_params(cfg):
@@ -65,13 +68,6 @@ def main() -> None:
     cfg, logger = setup_run(args.config, "fusion", keep_sub_directory=True)
     log_config(cfg, logger)
 
-    if cfg.get("use_2d_matches", False):
-        logger.warning(
-            "use_2d_matches=True: the 2D image-matching path is handled by "
-            "the rgb/fusion image stack; falling back to the 3D path for "
-            "stages where image data is unavailable."
-        )
-
     start = time.time()
     ensure_tiles(cfg, logger)
     tiles = list_tiles(cfg, overlap=True)
@@ -79,19 +75,84 @@ def main() -> None:
 
     dips_params, agg_params = load_model_params(cfg)
 
+    # RGB+3D fusion: image pair + cameras (+ optional precomputed 2D pixel
+    # matches from img_matching_result_dir, reference base:297-317).
+    image_kit = None
+    if cfg.get("use_2d_matches", False):
+        import glob
+
+        import numpy as np
+
+        from fusion4landslide_tpu.image.cameras import (
+            load_extrinsics,
+            load_intrinsic,
+        )
+        from main_rgb_guided import load_image
+
+        input_root = cfg.get("input_root") or cfg.get("data_dir")
+        intrinsic = load_intrinsic(input_root)
+        src_ext, tgt_ext = load_extrinsics(
+            input_root,
+            cfg.get("dataset"),
+            coord_type=cfg.get("coord_type", "PRCS"),
+            src_pose=cfg.get("src_pose"),
+            tgt_pose=cfg.get("tgt_pose"),
+        )
+        src_img = load_image(
+            osp.join(input_root, "image", "raw_images", cfg.get("src_image"))
+        )
+        tgt_img = load_image(
+            osp.join(input_root, "image", "raw_images", cfg.get("tgt_image"))
+        )
+        corres_2d = None
+        mdir = cfg.get("img_matching_result_dir")
+        if mdir and not osp.isabs(mdir):
+            mdir = osp.join(input_root, mdir)
+        if mdir and osp.isdir(mdir):
+            parts = [
+                np.loadtxt(f, ndmin=2)
+                for f in sorted(glob.glob(osp.join(mdir, "*.txt")))
+            ]
+            parts = [p for p in parts if p.size]
+            if parts:
+                corres_2d = np.vstack(parts)[:, :4]
+                logger.info(
+                    "Loaded %d precomputed 2D matches from %s",
+                    len(corres_2d), mdir,
+                )
+        image_kit = (src_img, tgt_img, intrinsic, src_ext, tgt_ext, corres_2d)
+
     for tile_id, src_path, tgt_path in tiles:
         logger.info("Processing tile %s", tile_id)
         src = read_ply(src_path)
         tgt = read_ply(tgt_path)
-        run_fusion3d_tile(
-            cfg,
-            dips_params,
-            agg_params,
-            src.points,
-            tgt.points,
-            tile_id=tile_id,
-            logger=logger,
-        )
+        if image_kit is not None:
+            src_img, tgt_img, intrinsic, src_ext, tgt_ext, corres_2d = image_kit
+            run_fusion_tile(
+                cfg,
+                dips_params,
+                agg_params,
+                src.points,
+                tgt.points,
+                src_img,
+                tgt_img,
+                intrinsic,
+                src_ext,
+                tgt_ext,
+                corres_2d=corres_2d,
+                tile_id=tile_id,
+                logger=logger,
+            )
+        else:
+            run_fusion3d_tile(
+                cfg,
+                dips_params,
+                agg_params,
+                src.points,
+                tgt.points,
+                tile_id=tile_id,
+                logger=logger,
+            )
 
     elapsed = time.time() - start
     logger.info(
