@@ -49,18 +49,22 @@ def main() -> None:
     import jax.numpy as jnp
 
     from fusion4landslide_tpu.ops.hashgrid import build_hash_grid, hash_grid_knn
-    from fusion4landslide_tpu.pipelines.piecewise_icp import piecewise_icp_core
+    from fusion4landslide_tpu.pipelines.piecewise_icp import (
+        piecewise_icp_core,
+        suggest_max_cells,
+    )
 
     s = jax.device_put(jnp.asarray(src))
     t = jax.device_put(jnp.asarray(tgt))
     ones = jnp.ones((n,), bool)
     smax = max(extent / 16.0, 1.0)
+    max_cells = suggest_max_cells(extent, smax, n, 10)
     radius = 0.5  # displacement search bound (max-magnitude gate scale)
 
     def workload(q):
         grid = build_hash_grid(t, radius)
         d, idx, _ = hash_grid_knn(q, grid, radius, k=1, cap=64)
-        res = piecewise_icp_core(q, t, ones, ones, smax, 10)
+        res = piecewise_icp_core(q, t, ones, ones, smax, 10, max_cells=max_cells)
         return d, res.displacement
 
     # Warmup/compile, synced via host transfer.

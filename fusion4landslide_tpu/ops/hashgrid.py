@@ -72,8 +72,11 @@ def build_hash_grid(
     origin = jnp.min(jnp.where(mask[:, None], ref, big), axis=0)
     extent = jnp.max(jnp.where(mask[:, None], ref, -big), axis=0) - origin
     extent = jnp.maximum(extent, 0.0)
-    # Grow the cell edge until the grid fits the static table.
-    target = jnp.asarray(float(max_cells), dtype)
+    # Grow the cell edge until the grid fits the static table. Real cells
+    # stay strictly below max_cells - 1 so the masked-point dump cell
+    # (max_cells - 1) sorts after every valid point — the Pallas window
+    # kernel relies on the valid points forming the array prefix.
+    target = jnp.asarray(float(max_cells - 1), dtype)
 
     def grow(c):
         dims = jnp.floor(extent / c).astype(jnp.int64) + 1
@@ -113,9 +116,6 @@ def _neighbor_offsets() -> jax.Array:
     return jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"), -1).reshape(27, 3)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "cap", "query_block", "exclude_self")
-)
 def hash_grid_knn(
     query: jax.Array,
     grid: HashGrid,
@@ -125,17 +125,67 @@ def hash_grid_knn(
     cap: int = 32,
     query_block: int = 8192,
     exclude_self: bool = False,
+    use_pallas: bool | None = None,
+    window: int = 32768,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """k nearest reference points within ``radius`` of each query.
 
     Requires ``grid.cell >= radius`` (guaranteed when the grid was built
     with ``cell=radius``; the builder only ever grows the edge).
 
+    On TPU the window-DMA Pallas kernel
+    (:mod:`fusion4landslide_tpu.ops.hashgrid_pallas`) runs by default; when
+    any query block's candidate window exceeds ``window`` the call falls
+    back to the gather-based XLA path, which is exact for any density.
+
     Returns:
         sqdist: (n, k) ascending squared distances (+inf past radius/cap).
         idx: (n, k) original reference indices (0 where invalid).
         overflow: () int32 — number of truncated cell runs observed.
     """
+    if use_pallas is None:
+        from fusion4landslide_tpu.ops.knn_pallas import pallas_available
+
+        use_pallas = k <= 32 and pallas_available()
+    if use_pallas:
+        from fusion4landslide_tpu.ops.hashgrid_pallas import (
+            hash_grid_knn_window,
+        )
+
+        d, i, ov = hash_grid_knn_window(
+            query, grid, radius, k, window=window, exclude_self=exclude_self
+        )
+        if isinstance(ov, jax.core.Tracer):
+            # Under an outer jit the overflow count can't gate a Python
+            # branch — trust the configured window (callers can check ov).
+            return d, i, ov
+        if int(ov) == 0:
+            return d, i, ov
+    return _hash_grid_knn_xla(
+        query,
+        grid,
+        radius,
+        k,
+        cap=cap,
+        query_block=query_block,
+        exclude_self=exclude_self,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap", "query_block", "exclude_self")
+)
+def _hash_grid_knn_xla(
+    query: jax.Array,
+    grid: HashGrid,
+    radius: jax.Array | float,
+    k: int = 1,
+    *,
+    cap: int = 32,
+    query_block: int = 8192,
+    exclude_self: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather-based XLA grid join (CPU path + overflow fallback)."""
     n = query.shape[0]
     m = grid.points.shape[0]
     radius = jnp.asarray(radius, query.dtype)

@@ -39,7 +39,23 @@ import numpy as np
 from fusion4landslide_tpu.ops.knn import knn
 from fusion4landslide_tpu.ops.voxel import grid_cells, group_by_cells
 
-__all__ = ["piecewise_icp_core", "run_piecewise_icp", "PiecewiseResult"]
+__all__ = [
+    "piecewise_icp_core",
+    "run_piecewise_icp",
+    "suggest_max_cells",
+    "PiecewiseResult",
+]
+
+
+def suggest_max_cells(
+    extent: float, smax: float, n: int, n_min: int = 1
+) -> int:
+    """Static occupied-leaf bound for ``piecewise_icp_core``: the octree at
+    depth ceil(log2(extent/smax)) has (2^depth)^3 leaves, of which at most
+    n/n_min hold >= n_min points."""
+    depth = max(int(np.ceil(np.log2(max(extent / max(smax, 1e-9), 1.0)))), 0)
+    bound = min(int(min(8.0**depth, float(n))), n // max(n_min, 1) + 1)
+    return max(1 << max(bound - 1, 1).bit_length(), 1024)
 
 
 class PiecewiseResult(NamedTuple):
@@ -64,7 +80,7 @@ def _cell_stats(points, mask, cell_size, origin, n_min):
     return p2c, centroids, counts, cell_valid, n_cells
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("max_cells",))
 def piecewise_icp_core(
     src: jax.Array,
     tgt: jax.Array,
@@ -72,9 +88,18 @@ def piecewise_icp_core(
     tgt_mask: jax.Array,
     smax: jax.Array | float,
     n_min: jax.Array | int,
+    *,
+    max_cells: int = 1 << 17,
 ) -> PiecewiseResult:
-    """Per-tile piecewise displacement estimation on padded arrays."""
+    """Per-tile piecewise displacement estimation on padded arrays.
+
+    ``max_cells`` is the static bound on occupied octree leaves per epoch —
+    the centroid tables are compacted to it before matching, so the
+    centroid NN costs O(max_cells^2), not O(n^2). With the reference's
+    n_min >= 10 a 1M-point tile has at most ~100k occupied leaves.
+    """
     n = src.shape[0]
+    max_cells = min(max_cells, n)
     big = jnp.asarray(jnp.inf, src.dtype)
     s_lo = jnp.min(jnp.where(src_mask[:, None], src, big), axis=0)
     s_hi = jnp.max(jnp.where(src_mask[:, None], src, -big), axis=0)
@@ -95,6 +120,11 @@ def piecewise_icp_core(
     tp2c, t_cent, t_cnt, t_valid, t_ncells = _cell_stats(
         tgt, tgt_mask, cell, lo, n_min
     )
+    # Compact to the static cell bound (cell ids are contiguous from 0).
+    s_cent = s_cent[:max_cells]
+    t_cent = t_cent[:max_cells]
+    s_valid = s_valid[:max_cells]
+    t_valid = t_valid[:max_cells]
 
     # Match each source-cell centroid to its nearest target-cell centroid.
     sqd, match = knn(s_cent, t_cent, 1, t_valid)
@@ -117,9 +147,9 @@ def piecewise_icp_core(
     cell_disp = jnp.where(matched[:, None], cell_disp, 0.0)
 
     # Scatter to points.
-    point_cell = jnp.clip(sp2c, 0, n - 1)
+    point_cell = jnp.clip(sp2c, 0, max_cells - 1)
     disp = jnp.take(cell_disp, point_cell, axis=0)
-    out_mask = src_mask & jnp.take(matched, point_cell)
+    out_mask = src_mask & (sp2c < max_cells) & jnp.take(matched, point_cell)
     stable_point = out_mask & jnp.take(stable_cell, point_cell)
     return PiecewiseResult(
         displacement=disp,
@@ -157,6 +187,8 @@ def run_piecewise_icp(
     center = src_points.mean(axis=0)
     src = (src_points - center).astype(np.float32)
     tgt = (tgt_points - center).astype(np.float32)
+    lo = np.minimum(src.min(axis=0), tgt.min(axis=0))
+    hi = np.maximum(src.max(axis=0), tgt.max(axis=0))
     res = piecewise_icp_core(
         jnp.asarray(src),
         jnp.asarray(tgt),
@@ -164,6 +196,10 @@ def run_piecewise_icp(
         jnp.ones(tgt.shape[0], bool),
         float(smax),
         int(number_points_min),
+        max_cells=suggest_max_cells(
+            float((hi - lo).max()), float(smax),
+            src.shape[0], int(number_points_min),
+        ),
     )
     disp = np.asarray(res.displacement)
     keep = np.asarray(res.out_mask)
