@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["hash_grid_knn_window"]
+__all__ = ["hash_grid_knn_window", "radius_sample_window"]
 
 _LANES = 128
 
@@ -131,33 +131,16 @@ def _grid_knn_kernel(
     out_i_ref[:, :] = jnp.concatenate(cols_i, axis=1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "block", "window", "chunk", "exclude_self", "interpret"),
-)
-def hash_grid_knn_window(
-    query: jax.Array,
-    grid,  # HashGrid (ops.hashgrid)
-    radius: jax.Array | float,
-    k: int = 1,
-    *,
-    block: int = 512,
-    window: int = 32768,
-    chunk: int = 2048,
-    exclude_self: bool = False,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Pallas window-DMA grid kNN. Same contract as ``hash_grid_knn``:
-    ((n, k) sq-distances ascending, +inf past radius; (n, k) ref indices,
-    0 where invalid; overflow count — results are only exact for blocks
-    whose candidate window fit, so retry with a larger ``window`` or the
-    XLA path when overflow > 0)."""
+def _window_prologue(query, grid, block: int, window: int):
+    """Shared window construction: sort queries by linear cell id, derive
+    per-block contiguous candidate windows from componentwise cell bounds
+    (the linear id is monotone under componentwise order), and pack the
+    cell-sorted reference as matmul-ready rows ``[x, y, z, |r|^2, 0...]``
+    with ``+inf |r|^2`` on the masked/padded tail."""
     n = query.shape[0]
     m = grid.points.shape[0]
-    radius = jnp.asarray(radius, jnp.float32)
     dims = grid.dims
 
-    # --- Sort queries by linear cell id (coherent windows).
     qcell = jnp.clip(
         jnp.floor((query - grid.origin) / grid.cell).astype(jnp.int32),
         0,
@@ -180,7 +163,6 @@ def hash_grid_knn_window(
             [qcell_sorted, jnp.broadcast_to(qcell_sorted[-1:], (pad, 3))]
         )
 
-    # --- Per-block windows from componentwise cell bounds (monotone linear).
     cblk = qcell_sorted.reshape(nb, block, 3)
     cmin = jnp.clip(jnp.min(cblk, axis=1) - 1, 0, dims - 1)
     cmax = jnp.clip(jnp.max(cblk, axis=1) + 1, 0, dims - 1)
@@ -192,8 +174,6 @@ def hash_grid_knn_window(
     w_len = w_hi - w_lo_al
     overflow = jnp.sum((w_len > window).astype(jnp.int32))
 
-    # --- Pack reference: rows [x, y, z, |r|^2, 0...]; +inf r2 on the
-    # masked/padded tail (cell-sorted order puts masked rows last).
     m_pad = (-(-max(m, 1) // _LANES)) * _LANES + window
     r2 = jnp.sum(grid.points * grid.points, axis=1)
     r2 = jnp.where(jnp.arange(m) < grid.m_valid, r2, jnp.inf)
@@ -214,6 +194,35 @@ def hash_grid_knn_window(
             jnp.zeros((n_pad, 3), jnp.float32),
         ],
         axis=1,
+    )
+    return qorder, qmat, wmeta, refpack, idxarr, overflow, nb, n_pad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "window", "chunk", "exclude_self", "interpret"),
+)
+def hash_grid_knn_window(
+    query: jax.Array,
+    grid,  # HashGrid (ops.hashgrid)
+    radius: jax.Array | float,
+    k: int = 1,
+    *,
+    block: int = 512,
+    window: int = 32768,
+    chunk: int = 2048,
+    exclude_self: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pallas window-DMA grid kNN. Same contract as ``hash_grid_knn``:
+    ((n, k) sq-distances ascending, +inf past radius; (n, k) ref indices,
+    0 where invalid; overflow count — results are only exact for blocks
+    whose candidate window fit, so retry with a larger ``window`` or the
+    XLA path when overflow > 0)."""
+    n = query.shape[0]
+    radius = jnp.asarray(radius, jnp.float32)
+    (qorder, qmat, wmeta, refpack, idxarr, overflow, nb, n_pad) = (
+        _window_prologue(query, grid, block, window)
     )
 
     kern = functools.partial(
@@ -268,3 +277,222 @@ def hash_grid_knn_window(
     d_out = jnp.zeros((n, k), jnp.float32).at[qorder].set(out_d[:n])
     i_out = jnp.zeros((n, k), jnp.int32).at[qorder].set(out_i[:n])
     return d_out, i_out, overflow
+
+
+def _radius_sample_kernel(
+    wmeta_ref,  # scalar prefetch: (nb, 2) i32 [window start (aligned), len]
+    qmat_ref,  # (B, 8) f32: [-2x, -2y, -2z, 1, row_id, 0, 0, 0]
+    refpack_ref,  # (8, m_pad) f32 in HBM
+    idx_ref,  # (1, m_pad) i32
+    out_i_ref,  # (B, num_points) i32
+    out_v_ref,  # (B, num_points) i32 (1 = valid)
+    refw,
+    idxw,
+    sems,
+    *,
+    layers: int,
+    w_size: int,
+    chunk: int,
+    r2_thresh: float,
+    seed: int,
+):
+    i = pl.program_id(0)
+    B = qmat_ref.shape[0]
+    w_lo = pl.multiple_of(wmeta_ref[i, 0], _LANES)
+    w_len = wmeta_ref[i, 1]
+
+    cp1 = pltpu.make_async_copy(
+        refpack_ref.at[:, pl.ds(w_lo, w_size)], refw, sems.at[0]
+    )
+    cp2 = pltpu.make_async_copy(
+        idx_ref.at[:, pl.ds(w_lo, w_size)], idxw, sems.at[1]
+    )
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    qmat = qmat_ref[:, :]
+    # Recover raw query coordinates (qmat rows are -2x,-2y,-2z) and centre
+    # the whole block locally: squared-distance cancellation error then
+    # scales with the window extent (a few cells), not the cloud extent —
+    # this keeps the radius test and the self-exclusion test sharp.
+    qpos = -0.5 * qmat[:, :3]  # (B, 3)
+    cen = jnp.mean(qpos, axis=0, keepdims=True)  # (1, 3)
+    qc = qpos - cen
+    qcm2 = -2.0 * qc  # (B, 3)
+    qc2 = jnp.sum(qc * qc, axis=1, keepdims=True)  # (B, 1)
+
+    sk0 = tuple(jnp.full((B, _LANES), jnp.inf, jnp.float32) for _ in range(layers))
+    si0 = tuple(jnp.zeros((B, _LANES), jnp.int32) for _ in range(layers))
+
+    def do_chunk(c, state):
+        sk = list(state[:layers])
+        si = list(state[layers:])
+        refc = refw[0:3, c * chunk : (c + 1) * chunk] - cen.T  # (3, chunk)
+        r2w = jnp.sum(refc * refc, axis=0, keepdims=True)  # (1, chunk)
+        finite = refw[3:4, c * chunk : (c + 1) * chunk] < jnp.inf
+        score = (
+            jax.lax.dot_general(
+                qcm2,
+                refc,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + r2w
+        )
+        dist2 = score + qc2  # (B, chunk) true squared distance
+        # Uniform [0, 1) random priority per candidate point: keeping the
+        # `layers` smallest priorities per lane draws a (lane-stratified)
+        # uniform random subset of the in-radius candidates. An integer
+        # hash of (point index, seed) is backend-independent (the TPU PRNG
+        # has no interpret-mode lowering) and reproducible.
+        cand = idxw[0, c * chunk : (c + 1) * chunk][None, :]  # (1, chunk)
+        x = cand.astype(jnp.uint32) * jnp.uint32(2654435761) + jnp.uint32(
+            seed & 0xFFFFFFFF
+        )
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x45D9F3B)
+        x = x ^ (x >> 16)
+        # uint32 -> f32 casts are unsupported on Mosaic; the top-24-bit
+        # value fits int32, which casts fine.
+        x24 = pltpu.bitcast(x >> 8, jnp.int32)
+        pri = jnp.broadcast_to(
+            x24.astype(jnp.float32) * (1.0 / (1 << 24)), score.shape
+        )
+        # Exclude the query point itself (distance ~ 0), matching the
+        # reference's drop of the self index (src/data_loader.py:46-53);
+        # the locally-centred dist2 resolves ~1e-3 radii cleanly.
+        self_thresh = r2_thresh * 1e-6
+        keyed = jnp.where(
+            (dist2 <= r2_thresh) & (dist2 > self_thresh) & finite,
+            pri,
+            jnp.inf,
+        )
+        for g in range(chunk // _LANES):
+            sl = slice(c * chunk + g * _LANES, c * chunk + (g + 1) * _LANES)
+            v_k = keyed[:, g * _LANES : (g + 1) * _LANES]
+            v_i = jnp.broadcast_to(idxw[0, sl][None, :], (B, _LANES))
+            for layer in range(layers):
+                old_k, old_i = sk[layer], si[layer]
+                take = v_k < old_k
+                sk[layer] = jnp.where(take, v_k, old_k)
+                si[layer] = jnp.where(take, v_i, old_i)
+                v_k = jnp.where(take, old_k, v_k)
+                v_i = jnp.where(take, old_i, v_i)
+        return tuple(sk) + tuple(si)
+
+    state = sk0 + si0
+    for c in range(w_size // chunk):
+        state = jax.lax.cond(
+            c * chunk < w_len,
+            functools.partial(do_chunk, c),
+            lambda s: s,
+            state,
+        )
+    sk, si = state[:layers], state[layers:]
+    out_i_ref[:, :] = jnp.concatenate(
+        [si[layer] for layer in range(layers)], axis=1
+    )
+    out_v_ref[:, :] = jnp.concatenate(
+        [jnp.isfinite(sk[layer]).astype(jnp.int32) for layer in range(layers)],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "num_points", "seed", "block", "window", "chunk",
+        "interpret",
+    ),
+)
+def radius_sample_window(
+    query: jax.Array,
+    grid,  # HashGrid
+    radius: float,
+    num_points: int = 256,
+    seed: int = 0,
+    *,
+    block: int = 512,
+    window: int = 32768,
+    chunk: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Random subsample of in-radius neighbours per query (LRF patches).
+
+    Replaces the reference's Open3D radius search + np.random.choice
+    (src/data_loader.py:44,101-106): each query draws up to ``num_points``
+    uniformly random in-radius support points (lane-stratified reservoir
+    over the candidate window; the query point itself is excluded).
+
+    Returns:
+        idx: (n, num_points) indices into the grid's original ref array.
+        valid: (n, num_points) bool.
+        overflow: () int32 — blocks whose candidate window was truncated.
+    """
+    if num_points % _LANES:
+        raise ValueError(f"num_points must be a multiple of {_LANES}")
+    n = query.shape[0]
+    layers = num_points // _LANES
+    (qorder, qmat, wmeta, refpack, idxarr, overflow, nb, n_pad) = (
+        _window_prologue(query, grid, block, window)
+    )
+
+    kern = functools.partial(
+        _radius_sample_kernel,
+        layers=layers,
+        w_size=window,
+        chunk=chunk,
+        r2_thresh=float(radius) ** 2,
+        seed=seed,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, 8), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block, num_points), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block, num_points), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, window), jnp.float32),
+            pltpu.VMEM((1, window), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_i, out_v = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, num_points), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, num_points), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * window * 8,
+            bytes_accessed=4 * (nb * window * 9 + n_pad * (8 + 2 * num_points)),
+            transcendentals=0,
+        ),
+    )(
+        wmeta,
+        qmat,
+        refpack,
+        idxarr,
+    )
+    i_out = (
+        jnp.zeros((n, num_points), jnp.int32).at[qorder].set(out_i[:n])
+    )
+    v_out = (
+        jnp.zeros((n, num_points), jnp.int32).at[qorder].set(out_v[:n])
+    )
+    return i_out, v_out.astype(bool), overflow

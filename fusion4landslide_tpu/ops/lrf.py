@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from fusion4landslide_tpu.ops.knn import knn
 
-__all__ = ["extract_lrf_patches"]
+__all__ = ["extract_lrf_patches", "lrf_patches_from_samples"]
 
 _EPS = 1e-6
 
@@ -73,11 +73,51 @@ def extract_lrf_patches(
     valid = jnp.isfinite(dist) & (dist <= radius)  # (n, k)
 
     neigh = jnp.take(support, idx, axis=0)  # (n, k, 3) absolute
-    diff = neigh - query[:, None, :]  # (n, k, 3)
 
     # Covariance excludes the nearest neighbour (the query itself when the
     # query cloud is a subset of the support cloud, data_loader.py:46).
     cov_mask = valid.at[:, 0].set(False)
+    patch, valid = _lrf_normalize(query, neigh, valid, cov_mask, radius)
+
+    # Random subsample / permutation to num_points without replacement:
+    # valid slots get random priorities, invalid slots -inf; top num_points
+    # picks a uniform random subset of the valid slots, padded with zeros.
+    pri = jax.random.uniform(key, (n, k_max))
+    pri = jnp.where(valid, pri, -jnp.inf)
+    _, sel = jax.lax.top_k(pri, num_points)
+    picked = jnp.take_along_axis(patch, sel[..., None], axis=1)
+    sel_valid = jnp.take_along_axis(valid, sel, axis=1)
+    return jnp.where(sel_valid[..., None], picked, 0.0)
+
+
+@jax.jit
+def lrf_patches_from_samples(
+    query: jax.Array,
+    support: jax.Array,
+    idx: jax.Array,
+    valid: jax.Array,
+    radius: jax.Array | float,
+) -> jax.Array:
+    """LRF patches from pre-sampled neighbourhoods.
+
+    ``idx``/``valid`` come from a radius sampler (e.g.
+    ``ops.hashgrid_pallas.radius_sample_window``) that already excludes the
+    query point itself, so every valid sample enters the covariance.
+
+    Returns (n, idx.shape[1], 3) patches in each query's LRF.
+    """
+    radius = jnp.asarray(radius, query.dtype)
+    neigh = jnp.take(support, idx, axis=0)
+    patch, v = _lrf_normalize(query, neigh, valid, valid, radius)
+    return jnp.where(v[..., None], patch, 0.0)
+
+
+def _lrf_normalize(query, neigh, valid, cov_mask, radius):
+    """Shared LRF math: covariance z-axis, weighted in-plane x-axis, rotate
+    + scale by 1/R, sparse (<=10 points) raw fallback. Returns
+    (patch (n, k, 3), valid)."""
+    diff = neigh - query[:, None, :]  # (n, k, 3)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
     w = cov_mask.astype(query.dtype)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (n, 1)
     hp = jax.lax.Precision.HIGHEST
@@ -112,13 +152,4 @@ def extract_lrf_patches(
     raw = neigh / radius
     patch = jnp.where(sparse[:, None, None], raw, local)
     patch = jnp.where(valid[..., None], patch, 0.0)
-
-    # Random subsample / permutation to num_points without replacement:
-    # valid slots get random priorities, invalid slots -inf; top num_points
-    # picks a uniform random subset of the valid slots, padded with zeros.
-    pri = jax.random.uniform(key, (n, k_max))
-    pri = jnp.where(valid, pri, -jnp.inf)
-    _, sel = jax.lax.top_k(pri, num_points)
-    picked = jnp.take_along_axis(patch, sel[..., None], axis=1)
-    sel_valid = jnp.take_along_axis(valid, sel, axis=1)
-    return jnp.where(sel_valid[..., None], picked, 0.0)
+    return patch, valid

@@ -16,7 +16,14 @@ import time
 from fusion4landslide_tpu.config import Config, load_yaml
 from fusion4landslide_tpu.utils.logging import get_logger
 
-__all__ = ["setup_run", "ensure_tiles", "list_tiles", "log_config"]
+__all__ = [
+    "setup_run",
+    "ensure_tiles",
+    "list_tiles",
+    "log_config",
+    "skip_completed_tiles",
+    "load_or_compute_features",
+]
 
 
 def setup_run(config_path: str, method: str, keep_sub_directory: bool = False):
@@ -86,4 +93,64 @@ def list_tiles(cfg: Config, overlap: bool = True) -> list[tuple[str, str, str]]:
     for p in paths:
         tid = re.findall(r"\d+", osp.basename(p))[0]
         out.append((tid, p, p.replace("source_tile_", "target_tile_")))
+    return out
+
+
+def skip_completed_tiles(
+    cfg: Config,
+    tiles: list[tuple[str, str, str]],
+    marker: str,
+    logger,
+) -> list[tuple[str, str, str]]:
+    """Tile-level resume: drop tiles whose result file already exists.
+
+    Replaces the reference's hand-edited ``continue_tile`` pointer
+    (main_fusion.py:133) with an automatic check; ``continue_tile: N`` in
+    the config additionally skips every tile with id < N, and
+    ``overwrite_results: True`` disables resume entirely. ``marker`` is the
+    result filename pattern with ``{tile}``, e.g.
+    ``c2f_dvfms_src2tgt_tile_{tile}.txt``.
+    """
+    if bool(cfg.get("overwrite_results", False)):
+        return tiles
+    start = int(cfg.get("continue_tile", 0) or 0)
+    results = osp.join(cfg.output_root, "results")
+    kept = []
+    for tid, s, t in tiles:
+        if int(tid) < start:
+            logger.info("Tile %s skipped (continue_tile=%d)", tid, start)
+            continue
+        if osp.exists(osp.join(results, marker.format(tile=tid))):
+            logger.info("Tile %s already complete; skipping (resume)", tid)
+            continue
+        kept.append((tid, s, t))
+    return kept
+
+
+def load_or_compute_features(
+    cfg: Config, tile_id, name: str, compute_fn, logger=None
+):
+    """Artifact-level feature cache (reference ``features_tile_N.npz``,
+    base:2039-2049, f2s3.py:139-149): when ``point_feat_compute`` is False
+    and the cache exists, load it; otherwise compute and save.
+
+    ``compute_fn()`` must return a dict of numpy arrays.
+    """
+    import numpy as np
+
+    out_root = cfg.get("output_root") or osp.join(
+        str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
+    )
+    interim = osp.join(out_root, "interim")
+    os.makedirs(interim, exist_ok=True)
+    path = osp.join(interim, f"{name}_tile_{tile_id}.npz")
+    if not bool(cfg.get("point_feat_compute", True)) and osp.exists(path):
+        if logger:
+            logger.info("Loading cached features from %s", path)
+        with np.load(path) as z:
+            return dict(z)
+    out = compute_fn()
+    np.savez_compressed(path, **out)
+    if logger:
+        logger.info("Saved feature cache to %s", path)
     return out

@@ -74,6 +74,41 @@ def compute_dips_features(
     pad = (-n) % chunk
     q = jnp.pad(core_pts, ((0, pad), (0, 0)))
     n_chunks = q.shape[0] // chunk
+
+    from fusion4landslide_tpu.ops.knn_pallas import pallas_available
+
+    if pallas_available() and patch_points % 128 == 0:
+        # TPU fast path: one grid-sampler sweep draws every patch's random
+        # in-radius subset (no brute-force kNN, no top-k over k_max), then
+        # the LRF math + network run chunked over fixed shapes.
+        from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
+        from fusion4landslide_tpu.ops.hashgrid_pallas import (
+            radius_sample_window,
+        )
+        from fusion4landslide_tpu.ops.lrf import lrf_patches_from_samples
+
+        grid = build_hash_grid(halo_pts, float(radius), halo_mask)
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        idx, valid, _ = radius_sample_window(
+            q, grid, float(radius), patch_points, seed
+        )
+
+        @jax.jit
+        def one_sampled(args):
+            qc, ic, vc = args
+            patches = lrf_patches_from_samples(qc, halo_pts, ic, vc, radius)
+            return model.apply(dips_params, patches)
+
+        feats = jax.lax.map(
+            one_sampled,
+            (
+                q.reshape(n_chunks, chunk, 3),
+                idx.reshape(n_chunks, chunk, patch_points),
+                valid.reshape(n_chunks, chunk, patch_points),
+            ),
+        )
+        return feats.reshape(-1, feats.shape[-1])[:n]
+
     keys = jax.random.split(key, n_chunks)
 
     @jax.jit

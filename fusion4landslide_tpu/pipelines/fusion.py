@@ -473,23 +473,48 @@ def _fusion_tile_core(
             tile_id, median_res, s_nv, t_nv,
         )
 
-    # --- 2. DIPs descriptors on the voxel clouds (base:1965-2049).
+    # --- 2. DIPs descriptors on the voxel clouds (base:1965-2049), cached
+    # as features_tile_N.npz (point_feat_compute: False loads the cache —
+    # reference base:2039-2049).
     radius = float(np.sqrt(3) * 10.0 * median_res)
     feat_kw = dict(
         k_max=int(cfg.get("feat_k_max", 512)),
         patch_points=int(cfg.get("feat_patch_points", 256)),
         chunk=int(cfg.get("feat_chunk", 2048)),
     )
-    src_feat = np.asarray(
-        compute_dips_features(
-            dips_params, jnp.asarray(src_vox), jnp.asarray(sh), radius, k_s, **feat_kw
-        )
+
+    def _compute_feats():
+        return {
+            "src_feat": np.asarray(
+                compute_dips_features(
+                    dips_params, jnp.asarray(src_vox), jnp.asarray(sh),
+                    radius, k_s, **feat_kw,
+                )
+            ),
+            "tgt_feat": np.asarray(
+                compute_dips_features(
+                    dips_params, jnp.asarray(tgt_vox), jnp.asarray(th),
+                    radius, k_t, **feat_kw,
+                )
+            ),
+        }
+
+    from fusion4landslide_tpu.pipelines.driver import load_or_compute_features
+
+    feats = load_or_compute_features(
+        cfg, tile_id, "features", _compute_feats, logger
     )
-    tgt_feat = np.asarray(
-        compute_dips_features(
-            dips_params, jnp.asarray(tgt_vox), jnp.asarray(th), radius, k_t, **feat_kw
-        )
-    )
+    src_feat = feats["src_feat"]
+    tgt_feat = feats["tgt_feat"]
+    if src_feat.shape[0] != s_nv or tgt_feat.shape[0] != t_nv:
+        if logger:
+            logger.warning(
+                "cached features shape mismatch (%d/%d vs %d/%d voxels) — "
+                "recomputing", src_feat.shape[0], tgt_feat.shape[0], s_nv, t_nv,
+            )
+        feats = _compute_feats()
+        src_feat = feats["src_feat"]
+        tgt_feat = feats["tgt_feat"]
 
     # --- 3. Global 3D voxel matches (base:2756-2889).
     g_idx, g_valid = global_matches_3d(

@@ -23,6 +23,7 @@ from fusion4landslide_tpu.pipelines.driver import (
     list_tiles,
     log_config,
     setup_run,
+    skip_completed_tiles,
 )
 from fusion4landslide_tpu.pipelines.f2s3 import run_f2s3_tile
 
@@ -66,6 +67,9 @@ def main() -> None:
     start = time.time()
     ensure_tiles(cfg, logger)
     tiles = list_tiles(cfg, overlap=True)
+    tiles = skip_completed_tiles(
+        cfg, tiles, "f2s3_dvfms_of_tile_{tile}.txt", logger
+    )
     logger.info("Num. of tile(s): %d", len(tiles))
 
     dips_params, filt_params = load_model_params(cfg)

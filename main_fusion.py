@@ -22,6 +22,7 @@ from fusion4landslide_tpu.pipelines.driver import (
     list_tiles,
     log_config,
     setup_run,
+    skip_completed_tiles,
 )
 from fusion4landslide_tpu.pipelines.fusion import (
     run_fusion3d_tile,
@@ -71,6 +72,9 @@ def main() -> None:
     start = time.time()
     ensure_tiles(cfg, logger)
     tiles = list_tiles(cfg, overlap=True)
+    tiles = skip_completed_tiles(
+        cfg, tiles, "c2f_dvfms_src2tgt_tile_{tile}.txt", logger
+    )
     logger.info("Num. of tile(s): %d", len(tiles))
 
     dips_params, agg_params = load_model_params(cfg)

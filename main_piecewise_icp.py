@@ -17,6 +17,7 @@ from fusion4landslide_tpu.pipelines.driver import (
     list_tiles,
     log_config,
     setup_run,
+    skip_completed_tiles,
 )
 from fusion4landslide_tpu.pipelines.piecewise_icp import run_piecewise_icp
 
@@ -36,6 +37,9 @@ def main() -> None:
     start = time.time()
     ensure_tiles(cfg, logger)
     tiles = list_tiles(cfg, overlap=True)
+    tiles = skip_completed_tiles(
+        cfg, tiles, "piecewise_icp_dvfms_of_tile_{tile}.txt", logger
+    )
     logger.info("Num. of tile(s): %d", len(tiles))
 
     for tile_id, src_path, tgt_path in tiles:

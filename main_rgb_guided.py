@@ -22,6 +22,7 @@ from fusion4landslide_tpu.pipelines.driver import (
     list_tiles,
     log_config,
     setup_run,
+    skip_completed_tiles,
 )
 from fusion4landslide_tpu.pipelines.rgb_guided import run_rgb_guided_tile
 
@@ -47,6 +48,9 @@ def main() -> None:
     start = time.time()
     ensure_tiles(cfg, logger)
     tiles = list_tiles(cfg, overlap=True)
+    tiles = skip_completed_tiles(
+        cfg, tiles, "rgb_guided_w_refinement_dvfms_src2tgt_tile_{tile}.txt", logger
+    )
     logger.info("Num. of tile(s): %d", len(tiles))
 
     input_root = cfg.get("input_root") or cfg.get("data_dir")
