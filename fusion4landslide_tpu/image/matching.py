@@ -240,14 +240,26 @@ def _loftr_matcher(img0, img1, *, params=None, match_threshold=0.2, **_):
     return uv
 
 
-MATCHERS = {"zncc": zncc_grid_match, "loftr": _loftr_matcher}
+MATCHERS = {
+    "zncc": zncc_grid_match,
+    "loftr": _loftr_matcher,
+    # Reference config spellings (fusion_brienz.yaml img_matching_type):
+    # 'ELoFTR' maps onto the LoFTR-family port; 'RoMA' is not ported.
+    "eloftr": _loftr_matcher,
+}
 
 
 def get_matcher(name: str):
     """Look up a matcher by name: 'zncc' (classical DIC, production default)
-    or 'loftr' (learned coarse-to-fine; reference's ELoFTR/RoMa role)."""
+    or 'loftr'/'eloftr' (learned coarse-to-fine; reference's ELoFTR role)."""
+    key = name.lower()
+    if key in ("roma", "romav2"):
+        raise NotImplementedError(
+            "the RoMa dense matcher is not ported; use 'eloftr' (learned) "
+            "or 'zncc' (classical DIC)"
+        )
     try:
-        return MATCHERS[name.lower()]
+        return MATCHERS[key]
     except KeyError as e:
         raise NotImplementedError(
             f"image matcher '{name}' is not available; options: "

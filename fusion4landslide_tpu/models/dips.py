@@ -42,16 +42,25 @@ class _MLPStack(nn.Module):
     """Shared trunk: pointwise 3→256→512→1024, max-pool, FC 1024→512→256."""
 
     precision: str = "highest"
+    dtype: str | None = None  # matmul compute dtype; None = float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, N, 3)
-        x = nn.relu(EvalBatchNorm(256, name="bn1")(nn.Dense(precision=self.precision, features=256, name="conv1")(x)))
-        x = nn.relu(EvalBatchNorm(512, name="bn2")(nn.Dense(precision=self.precision, features=512, name="conv2")(x)))
-        x = EvalBatchNorm(1024, name="bn3")(nn.Dense(precision=self.precision, features=1024, name="conv3")(x))
+        def dense(feats, name):
+            return nn.Dense(
+                precision=self.precision,
+                dtype=jnp.dtype(self.dtype) if self.dtype else None,
+                features=feats,
+                name=name,
+            )
+
+        x = nn.relu(EvalBatchNorm(256, name="bn1")(dense(256, "conv1")(x)))
+        x = nn.relu(EvalBatchNorm(512, name="bn2")(dense(512, "conv2")(x)))
+        x = EvalBatchNorm(1024, name="bn3")(dense(1024, "conv3")(x))
         x = jnp.max(x, axis=-2)  # global max pool over points -> (B, 1024)
-        x = nn.relu(EvalBatchNorm(512, name="bn4")(nn.Dense(precision=self.precision, features=512, name="fc1")(x)))
-        x = nn.relu(EvalBatchNorm(256, name="bn5")(nn.Dense(precision=self.precision, features=256, name="fc2")(x)))
+        x = nn.relu(EvalBatchNorm(512, name="bn4")(dense(512, "fc1")(x)))
+        x = nn.relu(EvalBatchNorm(256, name="bn5")(dense(256, "fc2")(x)))
         return x
 
 
@@ -60,11 +69,13 @@ class STN3d(nn.Module):
     (local_feature_descriptor.py:5-53)."""
 
     precision: str = "highest"
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = _MLPStack(self.precision, name="trunk")(x)
+        h = _MLPStack(self.precision, self.dtype, name="trunk")(x)
         m = nn.Dense(precision=self.precision, features=9, name="fc3")(h)
+        m = m.astype(jnp.float32)
         return m.reshape(*m.shape[:-1], 3, 3) + jnp.eye(3, dtype=m.dtype)
 
 
@@ -76,12 +87,15 @@ class PointNetFeature(nn.Module):
     l2norm: bool = True
     tnet: bool = True
     precision: str = "highest"
+    dtype: str | None = None  # 'bfloat16' for MXU-rate inference
+                              # (descriptors are L2-normalised; matching is
+                              # robust to bf16 — see test_models)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, N, 3) LRF-normalised patches.
         if self.tnet:
-            trans = STN3d(self.precision, name="stn3d")(x)  # (B, 3, 3)
+            trans = STN3d(self.precision, self.dtype, name="stn3d")(x)
             # torch: bmm(trans, x_c_first) with x (B, 3, N) ==> per-point
             # p' = trans @ p; points-last: x @ trans^T.
             x = jnp.einsum(
@@ -90,8 +104,9 @@ class PointNetFeature(nn.Module):
                 x,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        h = _MLPStack(self.precision, name="trunk")(x)
+        h = _MLPStack(self.precision, self.dtype, name="trunk")(x)
         out = nn.Dense(precision=self.precision, features=self.dim, name="fc3")(h)
+        out = out.astype(jnp.float32)
         if self.l2norm:
             out = out / jnp.maximum(
                 jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12

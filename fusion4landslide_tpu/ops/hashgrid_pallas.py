@@ -286,6 +286,7 @@ def _radius_sample_kernel(
     idx_ref,  # (1, m_pad) i32
     out_i_ref,  # (B, num_points) i32
     out_v_ref,  # (B, num_points) i32 (1 = valid)
+    out_x_ref,  # (B, 3, num_points) f32 sampled coordinates
     refw,
     idxw,
     sems,
@@ -325,10 +326,14 @@ def _radius_sample_kernel(
 
     sk0 = tuple(jnp.full((B, _LANES), jnp.inf, jnp.float32) for _ in range(layers))
     si0 = tuple(jnp.zeros((B, _LANES), jnp.int32) for _ in range(layers))
+    sx0 = tuple(
+        jnp.zeros((B, _LANES), jnp.float32) for _ in range(3 * layers)
+    )
 
     def do_chunk(c, state):
         sk = list(state[:layers])
-        si = list(state[layers:])
+        si = list(state[layers : 2 * layers])
+        sx = list(state[2 * layers :])
         refc = refw[0:3, c * chunk : (c + 1) * chunk] - cen.T  # (3, chunk)
         r2w = jnp.sum(refc * refc, axis=0, keepdims=True)  # (1, chunk)
         finite = refw[3:4, c * chunk : (c + 1) * chunk] < jnp.inf
@@ -374,6 +379,12 @@ def _radius_sample_kernel(
             sl = slice(c * chunk + g * _LANES, c * chunk + (g + 1) * _LANES)
             v_k = keyed[:, g * _LANES : (g + 1) * _LANES]
             v_i = jnp.broadcast_to(idxw[0, sl][None, :], (B, _LANES))
+            # Carry the candidate's (original) coordinates through the
+            # bubble so the caller never has to gather them from HBM.
+            v_c = [
+                jnp.broadcast_to(refw[d, sl][None, :], (B, _LANES))
+                for d in range(3)
+            ]
             for layer in range(layers):
                 old_k, old_i = sk[layer], si[layer]
                 take = v_k < old_k
@@ -381,9 +392,13 @@ def _radius_sample_kernel(
                 si[layer] = jnp.where(take, v_i, old_i)
                 v_k = jnp.where(take, old_k, v_k)
                 v_i = jnp.where(take, old_i, v_i)
-        return tuple(sk) + tuple(si)
+                for d in range(3):
+                    old_x = sx[3 * layer + d]
+                    sx[3 * layer + d] = jnp.where(take, v_c[d], old_x)
+                    v_c[d] = jnp.where(take, old_x, v_c[d])
+        return tuple(sk) + tuple(si) + tuple(sx)
 
-    state = sk0 + si0
+    state = sk0 + si0 + sx0
     for c in range(w_size // chunk):
         state = jax.lax.cond(
             c * chunk < w_len,
@@ -391,7 +406,9 @@ def _radius_sample_kernel(
             lambda s: s,
             state,
         )
-    sk, si = state[:layers], state[layers:]
+    sk = state[:layers]
+    si = state[layers : 2 * layers]
+    sx = state[2 * layers :]
     out_i_ref[:, :] = jnp.concatenate(
         [si[layer] for layer in range(layers)], axis=1
     )
@@ -399,6 +416,10 @@ def _radius_sample_kernel(
         [jnp.isfinite(sk[layer]).astype(jnp.int32) for layer in range(layers)],
         axis=1,
     )
+    for d in range(3):
+        out_x_ref[:, d, :] = jnp.concatenate(
+            [sx[3 * layer + d] for layer in range(layers)], axis=1
+        )
 
 
 @functools.partial(
@@ -430,6 +451,7 @@ def radius_sample_window(
     Returns:
         idx: (n, num_points) indices into the grid's original ref array.
         valid: (n, num_points) bool.
+        xyz: (n, num_points, 3) sampled coordinates (no HBM gather needed).
         overflow: () int32 — blocks whose candidate window was truncated.
     """
     if num_points % _LANES:
@@ -463,6 +485,11 @@ def radius_sample_window(
             pl.BlockSpec(
                 (block, num_points), lambda i, s: (i, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (block, 3, num_points),
+                lambda i, s: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, window), jnp.float32),
@@ -470,17 +497,18 @@ def radius_sample_window(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out_i, out_v = pl.pallas_call(
+    out_i, out_v, out_x = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, num_points), jnp.int32),
             jax.ShapeDtypeStruct((n_pad, num_points), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 3, num_points), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * window * 8,
-            bytes_accessed=4 * (nb * window * 9 + n_pad * (8 + 2 * num_points)),
+            bytes_accessed=4 * (nb * window * 9 + n_pad * (8 + 5 * num_points)),
             transcendentals=0,
         ),
     )(
@@ -495,4 +523,10 @@ def radius_sample_window(
     v_out = (
         jnp.zeros((n, num_points), jnp.int32).at[qorder].set(out_v[:n])
     )
-    return i_out, v_out.astype(bool), overflow
+    x_out = (
+        jnp.zeros((n, 3, num_points), jnp.float32)
+        .at[qorder]
+        .set(out_x[:n])
+        .swapaxes(1, 2)  # (n, num_points, 3)
+    )
+    return i_out, v_out.astype(bool), x_out, overflow

@@ -98,16 +98,29 @@ def lrf_patches_from_samples(
     valid: jax.Array,
     radius: jax.Array | float,
 ) -> jax.Array:
-    """LRF patches from pre-sampled neighbourhoods.
+    """LRF patches from pre-sampled neighbourhood *indices* (gathers the
+    coordinates from ``support``; prefer ``lrf_patches_from_neighbors`` when
+    the sampler already returned coordinates)."""
+    neigh = jnp.take(support, idx, axis=0)
+    return lrf_patches_from_neighbors(query, neigh, valid, radius)
 
-    ``idx``/``valid`` come from a radius sampler (e.g.
+
+@jax.jit
+def lrf_patches_from_neighbors(
+    query: jax.Array,
+    neigh: jax.Array,
+    valid: jax.Array,
+    radius: jax.Array | float,
+) -> jax.Array:
+    """LRF patches from pre-sampled neighbourhood coordinates.
+
+    ``neigh``/``valid`` come from a radius sampler (e.g.
     ``ops.hashgrid_pallas.radius_sample_window``) that already excludes the
     query point itself, so every valid sample enters the covariance.
 
-    Returns (n, idx.shape[1], 3) patches in each query's LRF.
+    Returns (n, neigh.shape[1], 3) patches in each query's LRF.
     """
     radius = jnp.asarray(radius, query.dtype)
-    neigh = jnp.take(support, idx, axis=0)
     patch, v = _lrf_normalize(query, neigh, valid, valid, radius)
     return jnp.where(v[..., None], patch, 0.0)
 
