@@ -296,6 +296,7 @@ def _radius_sample_kernel(
     chunk: int,
     r2_thresh: float,
     seed: int,
+    priority: str,
 ):
     i = pl.program_id(0)
     B = qmat_ref.shape[0]
@@ -348,24 +349,32 @@ def _radius_sample_kernel(
             + r2w
         )
         dist2 = score + qc2  # (B, chunk) true squared distance
-        # Uniform [0, 1) random priority per candidate point: keeping the
-        # `layers` smallest priorities per lane draws a (lane-stratified)
-        # uniform random subset of the in-radius candidates. An integer
-        # hash of (point index, seed) is backend-independent (the TPU PRNG
-        # has no interpret-mode lowering) and reproducible.
-        cand = idxw[0, c * chunk : (c + 1) * chunk][None, :]  # (1, chunk)
-        x = cand.astype(jnp.uint32) * jnp.uint32(2654435761) + jnp.uint32(
-            seed & 0xFFFFFFFF
-        )
-        x = x ^ (x >> 16)
-        x = x * jnp.uint32(0x45D9F3B)
-        x = x ^ (x >> 16)
-        # uint32 -> f32 casts are unsupported on Mosaic; the top-24-bit
-        # value fits int32, which casts fine.
-        x24 = pltpu.bitcast(x >> 8, jnp.int32)
-        pri = jnp.broadcast_to(
-            x24.astype(jnp.float32) * (1.0 / (1 << 24)), score.shape
-        )
+        if priority == "distance":
+            # Nearest-per-lane mode: keeps the `layers` closest candidates
+            # in each lane stratum (consecutive window positions map to
+            # distinct lanes, so a contiguous run of near points — the
+            # common case after cell sorting — is captured exactly).
+            pri = dist2
+        else:
+            # Uniform [0, 1) random priority per candidate point: keeping
+            # the `layers` smallest priorities per lane draws a
+            # (lane-stratified) uniform random subset of the in-radius
+            # candidates. An integer hash of (point index, seed) is
+            # backend-independent (the TPU PRNG has no interpret-mode
+            # lowering) and reproducible.
+            cand = idxw[0, c * chunk : (c + 1) * chunk][None, :]  # (1, chunk)
+            x = cand.astype(jnp.uint32) * jnp.uint32(2654435761) + jnp.uint32(
+                seed & 0xFFFFFFFF
+            )
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x45D9F3B)
+            x = x ^ (x >> 16)
+            # uint32 -> f32 casts are unsupported on Mosaic; the top-24-bit
+            # value fits int32, which casts fine.
+            x24 = pltpu.bitcast(x >> 8, jnp.int32)
+            pri = jnp.broadcast_to(
+                x24.astype(jnp.float32) * (1.0 / (1 << 24)), score.shape
+            )
         # Exclude the query point itself (distance ~ 0), matching the
         # reference's drop of the self index (src/data_loader.py:46-53);
         # the locally-centred dist2 resolves ~1e-3 radii cleanly.
@@ -426,7 +435,7 @@ def _radius_sample_kernel(
     jax.jit,
     static_argnames=(
         "radius", "num_points", "seed", "block", "window", "chunk",
-        "interpret",
+        "priority", "interpret",
     ),
 )
 def radius_sample_window(
@@ -439,9 +448,16 @@ def radius_sample_window(
     block: int = 512,
     window: int = 32768,
     chunk: int = 2048,
+    priority: str = "random",
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Random subsample of in-radius neighbours per query (LRF patches).
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Subsample of in-radius neighbours per query.
+
+    ``priority='random'`` draws a uniform random subset (LRF patches);
+    ``priority='distance'`` keeps the lane-stratified *nearest* candidates
+    (approximate kNN-graph construction; a contiguous run of near points
+    lands in distinct lanes, so local neighbourhoods are captured well).
+    The query point itself (distance ~0) is always excluded.
 
     Replaces the reference's Open3D radius search + np.random.choice
     (src/data_loader.py:44,101-106): each query draws up to ``num_points``
@@ -469,6 +485,7 @@ def radius_sample_window(
         chunk=chunk,
         r2_thresh=float(radius) ** 2,
         seed=seed,
+        priority=priority,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -55,7 +55,6 @@ def _vccs(p, n_p, q, n_q, resolution):
     return 1.0 - jnp.abs(jnp.sum(n_p * n_q, axis=-1)) + d / resolution * 0.4
 
 
-@functools.partial(jax.jit, static_argnames=("k_neighbors", "num_sweeps"))
 def supervoxel_segmentation(
     points: jax.Array,
     resolution: jax.Array | float,
@@ -79,15 +78,66 @@ def supervoxel_segmentation(
     Returns:
         :class:`SupervoxelResult` — labels are compacted to 0..K-1; masked
         points get label n-1 (by convention they sort to padding groups).
+
+    On TPU the kNN graph comes from the grid-window sampler
+    (radius-bounded at R — VCCS candidates farther than the supervoxel
+    radius can essentially never win the 0.4·d/R metric) instead of the
+    O(n^2) brute-force search.
     """
     n = points.shape[0]
-    valid = jnp.ones((n,), bool) if mask is None else mask.astype(bool)
+    valid = (
+        jnp.ones((n,), bool) if mask is None else jnp.asarray(mask).astype(bool)
+    )
 
-    # kNN graph, reused for normals and propagation.
-    sqd, neigh_idx = knn(points, points, k_neighbors, valid)
-    neigh_mask = jnp.isfinite(sqd)
+    from fusion4landslide_tpu.ops.knn_pallas import pallas_available
+
+    if pallas_available():
+        from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
+        from fusion4landslide_tpu.ops.hashgrid_pallas import (
+            radius_sample_window,
+        )
+
+        grid = build_hash_grid(points, float(resolution), valid)
+        cand_i, cand_v, cand_x, _ = radius_sample_window(
+            points, grid, float(resolution), 128, priority="distance"
+        )
+        d2 = jnp.sum((cand_x - points[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cand_v, d2, jnp.inf)
+        neg, sel = jax.lax.top_k(-d2, k_neighbors)
+        neigh_idx = jnp.take_along_axis(cand_i, sel, axis=1)
+        neigh_mask = jnp.isfinite(-neg)
+        neigh_idx = jnp.where(neigh_mask, neigh_idx, 0)
+    else:
+        sqd, neigh_idx = knn(points, points, k_neighbors, valid)
+        neigh_mask = jnp.isfinite(sqd)
+    return _supervoxel_core(
+        points,
+        jnp.asarray(resolution, points.dtype),
+        valid,
+        neigh_idx,
+        neigh_mask,
+        num_sweeps=num_sweeps,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_sweeps",))
+def _supervoxel_core(
+    points: jax.Array,
+    resolution: jax.Array,
+    valid: jax.Array,
+    neigh_idx: jax.Array,
+    neigh_mask: jax.Array,
+    *,
+    num_sweeps: int = 24,
+) -> SupervoxelResult:
+    """Seeding + VCCS label propagation over a precomputed kNN graph."""
+    n = points.shape[0]
     normals = pca_normals(
-        points, k_neighbors, valid, neigh_idx=neigh_idx, neigh_mask=neigh_mask
+        points,
+        neigh_idx.shape[1],
+        valid,
+        neigh_idx=neigh_idx,
+        neigh_mask=neigh_mask,
     )
 
     # --- Seeds: one per occupied grid cell at the target resolution
