@@ -42,6 +42,9 @@ def synth_epoch_pair(n: int):
 
 
 def main() -> None:
+    from fusion4landslide_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     n = int(os.environ.get("BENCH_N", 1_000_000))
     src, tgt, extent = synth_epoch_pair(n)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
@@ -211,7 +212,49 @@ def median_nn_distance(
 ) -> jax.Array:
     """Median distance to the closest *other* point — the point-cloud
     "resolution" used throughout the reference
-    (src/f2s3.py:481-507 ``_compute_median_resolution``)."""
+    (src/f2s3.py:481-507 ``_compute_median_resolution``).
+
+    On TPU this runs radius-bounded through the grid-window kernel: the
+    initial radius comes from the bounding-box density and doubles until
+    at least half the points have an in-radius neighbour (the median is
+    then exact — every distance below it has been found exactly).
+    """
+    from fusion4landslide_tpu.ops.knn_pallas import pallas_available
+
+    n = points.shape[0]
+    if pallas_available() and n > 4096:
+        from fusion4landslide_tpu.ops.hashgrid import (
+            build_hash_grid,
+            hash_grid_knn,
+        )
+
+        valid = (
+            jnp.ones((n,), bool)
+            if mask is None
+            else jnp.asarray(mask).astype(bool)
+        )
+        pts_np = points  # device array; bbox on device, scalars to host
+        lo = jnp.min(jnp.where(valid[:, None], pts_np, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], pts_np, -jnp.inf), axis=0)
+        ext = jax.device_get(hi - lo)
+        cnt_valid = int(jax.device_get(jnp.sum(valid)))
+        area = float(max(ext[0], 1e-9) * max(ext[1], 1e-9))
+        radius = 4.0 * float(np.sqrt(area / max(cnt_valid, 1)))
+        for _ in range(8):
+            grid = build_hash_grid(points, radius, valid if mask is not None else None)
+            sqd, _, _ = hash_grid_knn(
+                points, grid, radius, 1, exclude_self=True
+            )
+            d = jnp.sqrt(sqd[:, 0])
+            found = valid & jnp.isfinite(d)
+            n_found = int(jax.device_get(jnp.sum(found)))
+            if 2 * n_found > cnt_valid:
+                d_sorted = jnp.sort(jnp.where(found, d, jnp.inf))
+                lo_i = max((cnt_valid - 1) // 2, 0)
+                hi_i = cnt_valid // 2
+                return 0.5 * (d_sorted[lo_i] + d_sorted[hi_i])
+            radius *= 2.0
+        # Fall through to brute force if density estimation failed.
     sqd, _ = knn(points, points, 1, mask, exclude_self=True, **kw)
     d = jnp.sqrt(sqd[:, 0])
     if mask is not None:

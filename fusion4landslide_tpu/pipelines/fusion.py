@@ -154,7 +154,9 @@ class FinePairResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pair_chunk", "icp_max_iter", "weighting"),
+    static_argnames=(
+        "pair_chunk", "icp_max_iter", "weighting", "fine_max_matches"
+    ),
 )
 def fine_match_pairs(
     src_members: jax.Array,  # (Pairs, P) src voxel indices per patch
@@ -176,6 +178,7 @@ def fine_match_pairs(
     icp_threshold: float | jax.Array = 0.1,
     icp_max_iter: int = 30,
     pair_chunk: int = 32,
+    fine_max_matches: int = 1024,
 ) -> FinePairResult:
     """Per matched patch pair: quality gate + SVD + ICP (base:3254-3436).
 
@@ -222,6 +225,21 @@ def fine_match_pairs(
             )
             mv = jnp.concatenate([mv, mv2])
         n_match = jnp.sum(mv)
+
+        # Compact to the matched members (bounded bucket): the isometry
+        # gate and ICP below are quadratic in the member count, and the
+        # reference only ever feeds the *matched* correspondences of a pair
+        # (base:3259-3274) — typically a few hundred even for huge patches.
+        F = min(src_m.shape[0], int(fine_max_matches))
+        _, sel = jax.lax.top_k(
+            mv.astype(jnp.float32)
+            - jnp.arange(src_m.shape[0], dtype=jnp.float32) * 1e-9,
+            F,
+        )
+        src_m = jnp.take(src_m, sel, axis=0)
+        tgt_m = jnp.take(tgt_m, sel, axis=0)
+        mv = jnp.take(mv, sel)
+        wts = jnp.take(wts, sel)
 
         # Isometry quality gate (base:3310-3323): mean and inlier ratio of
         # |pairwise-dist(src) - pairwise-dist(tgt)| over matched pairs.
@@ -453,15 +471,27 @@ def _fusion_tile_core(
     assign_type = str(cfg.get("assign_type", "assign_then_nn"))
     out_tgt2src = bool(cfg.get("output_tgt2src", False))
 
+    from fusion4landslide_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+
+    def _log(msg):
+        if logger:
+            logger.info(msg)
+
+    _log(f"tile {tile_id}: stage median_resolution ({s.shape[0]} pts)")
     key = jax.random.PRNGKey(rng_seed)
     k_s, k_t = jax.random.split(key)
 
     # --- 1. median resolution + adaptive voxel subsampling (base:1012-1030).
-    res_s = float(median_nn_distance(jnp.asarray(s)))
-    res_t = float(median_nn_distance(jnp.asarray(t)))
+    with timer.stage("median_resolution"):
+        res_s = float(median_nn_distance(jnp.asarray(s)))
+        res_t = float(median_nn_distance(jnp.asarray(t)))
     median_res = max(res_s, res_t)
-    s_cent, s_p2v, s_cnt, s_nv = voxel_downsample(jnp.asarray(s), median_res)
-    t_cent, t_p2v, t_cnt, t_nv = voxel_downsample(jnp.asarray(t), median_res)
+    _log(f"tile {tile_id}: stage voxel_subsampling (res={median_res:.4f})")
+    with timer.stage("voxel_subsampling"):
+        s_cent, s_p2v, s_cnt, s_nv = voxel_downsample(jnp.asarray(s), median_res)
+        t_cent, t_p2v, t_cnt, t_nv = voxel_downsample(jnp.asarray(t), median_res)
     s_nv, t_nv = int(s_nv), int(t_nv)
     src_vox = np.asarray(s_cent)[:s_nv]
     tgt_vox = np.asarray(t_cent)[:t_nv]
@@ -483,6 +513,8 @@ def _fusion_tile_core(
         chunk=int(cfg.get("feat_chunk", 2048)),
     )
 
+    _log(f"tile {tile_id}: stage dips_features (radius={radius:.3f})")
+
     def _compute_feats():
         return {
             "src_feat": np.asarray(
@@ -501,9 +533,10 @@ def _fusion_tile_core(
 
     from fusion4landslide_tpu.pipelines.driver import load_or_compute_features
 
-    feats = load_or_compute_features(
-        cfg, tile_id, "features", _compute_feats, logger
-    )
+    with timer.stage("dips_features"):
+        feats = load_or_compute_features(
+            cfg, tile_id, "features", _compute_feats, logger
+        )
     src_feat = feats["src_feat"]
     tgt_feat = feats["tgt_feat"]
     if src_feat.shape[0] != s_nv or tgt_feat.shape[0] != t_nv:
@@ -517,12 +550,16 @@ def _fusion_tile_core(
         tgt_feat = feats["tgt_feat"]
 
     # --- 3. Global 3D voxel matches (base:2756-2889).
+    _log(f"tile {tile_id}: stage global_3d_matches")
+    timer.stages.setdefault("global_3d_matches", 0.0)
+    _t3 = __import__("time").perf_counter()
     g_idx, g_valid = global_matches_3d(
         jnp.asarray(src_feat), jnp.asarray(tgt_feat),
         jnp.asarray(src_vox), jnp.asarray(tgt_vox), max_mag,
     )
     g_idx = np.asarray(g_idx)
     g_valid = np.asarray(g_valid)
+    timer.stages["global_3d_matches"] += __import__("time").perf_counter() - _t3
 
     out_root = osp.join(
         str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
@@ -677,6 +714,8 @@ def _fusion_tile_core(
         )[::-1][t_p2v[::-1] < t_nv]
 
     for level in levels:
+        _log(f"tile {tile_id}: stage partition level {level}")
+        _lt = __import__("time").perf_counter()
         if use_spt_files:
             _, pt_lab_s = read_superpoint_partition(spt_src_path, int(level))
             _, pt_lab_t = read_superpoint_partition(spt_tgt_path, int(level))
@@ -690,6 +729,11 @@ def _fusion_tile_core(
             raw_t = np.asarray(seg_t.labels)
         lab_s, n_s = _compact_labels(raw_s, small_patch)
         lab_t, n_t = _compact_labels(raw_t, small_patch)
+        timer.stages[f"partition_l{level}"] = (
+            __import__("time").perf_counter() - _lt
+        )
+        _log(f"tile {tile_id}: stage coarse+fine level {level}")
+        _lt = __import__("time").perf_counter()
         if n_s == 0 or n_t == 0:
             per_level_stats.append((level, 0, 0))
             continue
@@ -703,10 +747,35 @@ def _fusion_tile_core(
         mem_t, memmask_t = label_members(jnp.asarray(lab_t), S_t, P_t)
 
         # --- 5. Superpoint aggregation (base:2561-2656) + coarse matching.
-        feats_s = jnp.take(jnp.asarray(src_feat), mem_s, axis=0) * memmask_s[..., None]
-        feats_t = jnp.take(jnp.asarray(tgt_feat), mem_t, axis=0) * memmask_t[..., None]
-        spt_feat_s = agg_model.apply(agg_params, feats_s, memmask_s)
-        spt_feat_t = agg_model.apply(agg_params, feats_t, memmask_t)
+        # Self-attention is quadratic in patch size; large superpoints are
+        # represented by a strided member subsample (<= agg_max_points) and
+        # the apply is chunked over superpoints to bound the (c, P, P)
+        # score tensor (the reference bounds this by aggregating over
+        # voxel-subsampled patches, feature_aggregation/...:80-83).
+        P_agg = min(int(cfg.get("agg_max_points", 512)), P_s, P_t)
+
+        def _agg(feat_arr, mem, mmask, P_full):
+            if P_full > P_agg:
+                stride = -(-P_full // P_agg)
+                mem = mem[:, ::stride][:, :P_agg]
+                mmask = mmask[:, ::stride][:, :P_agg]
+            feats = jnp.take(feat_arr, mem, axis=0) * mmask[..., None]
+            S = feats.shape[0]
+            c = min(256, S)
+            pad_s = (-S) % c
+            fp = jnp.pad(feats, ((0, pad_s), (0, 0), (0, 0)))
+            mp = jnp.pad(mmask, ((0, pad_s), (0, 0)))
+            out = jax.lax.map(
+                lambda args: agg_model.apply(agg_params, *args),
+                (
+                    fp.reshape(-1, c, *fp.shape[1:]),
+                    mp.reshape(-1, c, mp.shape[1]),
+                ),
+            )
+            return out.reshape(-1, out.shape[-1])[:S]
+
+        spt_feat_s = _agg(jnp.asarray(src_feat), mem_s, memmask_s, P_s)
+        spt_feat_t = _agg(jnp.asarray(tgt_feat), mem_t, memmask_t, P_t)
         w_s = memmask_s.astype(jnp.float32)[..., None]
         spt_coord_s = jnp.sum(
             jnp.take(jnp.asarray(src_vox), mem_s, axis=0) * w_s, axis=1
@@ -815,6 +884,9 @@ def _fusion_tile_core(
         merged_rmse[take] = lab_rmse[lbl[take]]
         merged_valid |= take
         per_level_stats.append((level, n_s, int(fvalid.sum())))
+        timer.stages[f"match_l{level}"] = (
+            __import__("time").perf_counter() - _lt
+        )
         if logger:
             logger.info(
                 "tile %s level %s: %d src spts, %d matched pairs, %d fine-valid",
@@ -895,6 +967,8 @@ def _fusion_tile_core(
             ),
         )
 
+    if logger:
+        logger.info("tile %s stage times:\n%s", tile_id, timer.report())
     return {
         "dvfs": dvfs_dense,
         "dvfs_sparse": dvfs_sparse,
