@@ -207,6 +207,26 @@ def nn1(
     return d[:, 0], i[:, 0]
 
 
+@jax.jit
+def _bbox_stats(points, valid):
+    lo = jnp.min(jnp.where(valid[:, None], points, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -jnp.inf), axis=0)
+    return hi - lo, jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cnt_valid",))
+def _masked_median_sq(sq, valid, cnt_valid: int):
+    """(median of sqrt(sq) over found rows, found count) in one dispatch."""
+    d = jnp.sqrt(sq)
+    found = valid & jnp.isfinite(d)
+    d_sorted = jnp.sort(jnp.where(found, d, jnp.inf))
+    lo_i = max((cnt_valid - 1) // 2, 0)
+    hi_i = cnt_valid // 2
+    return 0.5 * (d_sorted[lo_i] + d_sorted[hi_i]), jnp.sum(
+        found.astype(jnp.int32)
+    )
+
+
 def median_nn_distance(
     points: jax.Array, mask: jax.Array | None = None, **kw
 ) -> jax.Array:
@@ -233,11 +253,8 @@ def median_nn_distance(
             if mask is None
             else jnp.asarray(mask).astype(bool)
         )
-        pts_np = points  # device array; bbox on device, scalars to host
-        lo = jnp.min(jnp.where(valid[:, None], pts_np, jnp.inf), axis=0)
-        hi = jnp.max(jnp.where(valid[:, None], pts_np, -jnp.inf), axis=0)
-        ext = jax.device_get(hi - lo)
-        cnt_valid = int(jax.device_get(jnp.sum(valid)))
+        ext, cnt_valid = jax.device_get(_bbox_stats(points, valid))
+        cnt_valid = int(cnt_valid)
         area = float(max(ext[0], 1e-9) * max(ext[1], 1e-9))
         radius = 4.0 * float(np.sqrt(area / max(cnt_valid, 1)))
         for _ in range(8):
@@ -245,14 +262,9 @@ def median_nn_distance(
             sqd, _, _ = hash_grid_knn(
                 points, grid, radius, 1, exclude_self=True
             )
-            d = jnp.sqrt(sqd[:, 0])
-            found = valid & jnp.isfinite(d)
-            n_found = int(jax.device_get(jnp.sum(found)))
-            if 2 * n_found > cnt_valid:
-                d_sorted = jnp.sort(jnp.where(found, d, jnp.inf))
-                lo_i = max((cnt_valid - 1) // 2, 0)
-                hi_i = cnt_valid // 2
-                return 0.5 * (d_sorted[lo_i] + d_sorted[hi_i])
+            med, n_found = _masked_median_sq(sqd[:, 0], valid, cnt_valid)
+            if 2 * int(jax.device_get(n_found)) > cnt_valid:
+                return med
             radius *= 2.0
         # Fall through to brute force if density estimation failed.
     sqd, _ = knn(points, points, 1, mask, exclude_self=True, **kw)
