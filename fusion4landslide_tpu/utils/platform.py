@@ -35,6 +35,9 @@ def enable_compile_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Source locations ride HLO metadata; keep them out of the cache
+        # key so editing unrelated code doesn't invalidate every entry.
+        jax.config.update("jax_compilation_cache_include_metadata_in_key", False)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
