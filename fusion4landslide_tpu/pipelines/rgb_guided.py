@@ -55,7 +55,9 @@ class SupervoxelRefineResult(NamedTuple):
     n_matches: jax.Array  # (S,)
 
 
-@functools.partial(jax.jit, static_argnames=("s_chunk", "icp_max_iter"))
+@functools.partial(
+    jax.jit, static_argnames=("s_chunk", "icp_max_iter", "max_matches")
+)
 def refine_supervoxels_rigid(
     members: jax.Array,  # (S, P) src point indices per supervoxel
     member_mask: jax.Array,  # (S, P)
@@ -66,12 +68,27 @@ def refine_supervoxels_rigid(
     icp_threshold: float | jax.Array = 0.1,
     icp_max_iter: int = 30,
     s_chunk: int = 64,
+    max_matches: int = 1024,
 ) -> SupervoxelRefineResult:
-    """Per-supervoxel SVD + residual prune + ICP (rgb_guided.py:981-1047)."""
+    """Per-supervoxel SVD + residual prune + ICP (rgb_guided.py:981-1047).
+
+    The rigid solve uses at most ``max_matches`` matched members per
+    supervoxel (matched-first compaction) — ICP's correspondence search is
+    quadratic in the member count and a rigid fit saturates statistically
+    long before 1024 matches.
+    """
     S, P = members.shape
 
     def one(mem, mm):
         mv = mm & jnp.take(matched, mem)
+        if P > max_matches:
+            _, sel = jax.lax.top_k(
+                mv.astype(jnp.float32)
+                - jnp.arange(P, dtype=jnp.float32) * 1e-9,
+                max_matches,
+            )
+            mem = jnp.take(mem, sel)
+            mv = jnp.take(mv, sel)
         src_m = jnp.take(src_pts, mem, axis=0)
         tgt_m = jnp.take(tgt_match_pts, mem, axis=0)
         n_match = jnp.sum(mv)
@@ -170,9 +187,7 @@ def run_rgb_guided_tile(
         corres_2d = match_epoch_images(
             src_image,
             tgt_image,
-            matcher=str(cfg.get("img_matching_type", "zncc")).lower()
-            if str(cfg.get("img_matching_type", "zncc")).lower() in ("zncc",)
-            else "zncc",
+            matcher=str(cfg.get("img_matching_type", "zncc")).lower(),
             crop_size=tuple(cfg["crop_size"]) if cfg.get("crop_size") else None,
             overlap_size=tuple(cfg["overlap_size"]) if cfg.get("overlap_size") else None,
         )
