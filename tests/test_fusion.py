@@ -141,3 +141,33 @@ def test_run_fusion3d_tile_end_to_end(tmp_path, rng):
         # moving-region estimated displacement close to truth, stable ~0
         assert np.linalg.norm(np.median(disp[mov], axis=0) - shift) < 0.1
         assert np.linalg.norm(np.median(disp[stab], axis=0)) < 0.05
+
+
+def test_fine_match_pairs_compaction_large_patch(rng):
+    """fine_max_matches compaction: a patch far larger than the cap still
+    recovers the rigid shift from its (bounded) matched subset."""
+    P = 256
+    vox_s = rng.uniform(0, 6, size=(P, 3)).astype(np.float32)
+    shift = np.array([0.15, -0.05, 0.1], np.float32)
+    vox_t = (vox_s + shift).astype(np.float32)
+    corres = np.arange(P, dtype=np.int32)
+    members = np.arange(P, dtype=np.int32)[None, :]
+    mask = np.ones((1, P), bool)
+    res = fine_match_pairs(
+        members,
+        mask,
+        np.zeros(1, np.int32),
+        corres,
+        np.ones(P, bool),
+        np.zeros(P, np.int32),
+        vox_s,
+        vox_t,
+        icp_threshold=0.3,
+        num_min_fine=10,
+        fine_max_matches=64,  # cap far below the 256 matched members
+    )
+    assert bool(np.asarray(res.valid)[0])
+    # n_matches reports the true matched count; the solve used <= 64.
+    assert int(np.asarray(res.n_matches)[0]) == 256
+    np.testing.assert_allclose(np.asarray(res.t)[0], shift, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.R)[0], np.eye(3), atol=1e-3)
