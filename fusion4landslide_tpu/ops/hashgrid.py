@@ -35,7 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["HashGrid", "build_hash_grid", "hash_grid_knn"]
+__all__ = ["HashGrid", "build_hash_grid", "hash_grid_knn", "nn1_spatial"]
 
 #: Static bound on the dense cell table (int32 entries).
 _MAX_CELLS = 1 << 21
@@ -266,3 +266,50 @@ def _hash_grid_knn_xla(
     d_out = jnp.zeros((n, k), d.dtype).at[qorder].set(d[:n])
     i_out = jnp.zeros((n, k), i.dtype).at[qorder].set(i[:n])
     return d_out, i_out, ov
+
+
+def nn1_spatial(
+    query: jax.Array,
+    ref: jax.Array,
+    ref_mask: jax.Array | None = None,
+    *,
+    max_doublings: int = 12,
+) -> tuple[jax.Array, jax.Array]:
+    """Unbounded spatial 1-NN via the grid join with radius growth.
+
+    Drop-in for ``ops.knn.nn1`` on 3-d coordinates (O(n^2) brute force at
+    tile scale): starts from the bounding-box density radius and doubles
+    until every query found a neighbour. Returns ((n,) sqdist, (n,) idx);
+    queries left unmatched after ``max_doublings`` (only possible for an
+    empty/masked reference) get +inf / 0.
+    """
+    import numpy as np
+
+    n = query.shape[0]
+    valid = (
+        jnp.ones((ref.shape[0],), bool)
+        if ref_mask is None
+        else jnp.asarray(ref_mask).astype(bool)
+    )
+    lo = jnp.min(jnp.where(valid[:, None], ref, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], ref, -jnp.inf), axis=0)
+    ext, m_valid = jax.device_get((hi - lo, jnp.sum(valid.astype(jnp.int32))))
+    m_valid = int(m_valid)
+    if m_valid == 0:
+        return jnp.full((n,), jnp.inf, jnp.float32), jnp.zeros((n,), jnp.int32)
+    area = float(max(ext[0], 1e-9) * max(ext[1], 1e-9))
+    radius = 4.0 * float(np.sqrt(area / m_valid))
+
+    best_d = jnp.full((n,), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((n,), jnp.int32)
+    for _ in range(max_doublings):
+        grid = build_hash_grid(ref, radius, ref_mask)
+        d, i, _ = hash_grid_knn(query, grid, radius, 1)
+        found_new = jnp.isfinite(d[:, 0]) & ~jnp.isfinite(best_d)
+        best_d = jnp.where(found_new, d[:, 0], best_d)
+        best_i = jnp.where(found_new, i[:, 0], best_i)
+        n_missing = int(jax.device_get(jnp.sum(~jnp.isfinite(best_d))))
+        if n_missing == 0:
+            break
+        radius *= 2.0
+    return best_d, best_i

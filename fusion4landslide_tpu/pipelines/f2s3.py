@@ -413,7 +413,9 @@ def run_f2s3_tile(
     # 8. C2C gap fill: C2C distance everywhere, learned magnitudes at kept
     # points (f2s3.py:452-477).
     if cfg.get("fill_gaps_c2c", False):
-        c2c_sq, _ = nn1(jnp.asarray(s), jnp.asarray(t))
+        from fusion4landslide_tpu.ops.hashgrid import nn1_spatial
+
+        c2c_sq, _ = nn1_spatial(jnp.asarray(s), jnp.asarray(t))
         c2c = np.sqrt(np.asarray(c2c_sq))
         kept_idx = np.where(keep)[0]
         if max_disp > 0:

@@ -950,7 +950,9 @@ def _fusion_tile_core(
         # Assign each tgt point the transform of its matched src patch is the
         # reference behaviour per pair; here invert the per-point transform
         # of the nearest assigned source point.
-        _, near_src = nn1(jnp.asarray(t), jnp.asarray(s[merged_valid]))
+        from fusion4landslide_tpu.ops.hashgrid import nn1_spatial
+
+        _, near_src = nn1_spatial(jnp.asarray(t), jnp.asarray(s[merged_valid]))
         near_src = np.asarray(near_src)
         idx_assigned = np.where(merged_valid)[0][near_src]
         Rm = merged_R[idx_assigned]
