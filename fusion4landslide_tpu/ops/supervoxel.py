@@ -39,7 +39,11 @@ from fusion4landslide_tpu.ops.knn import knn
 from fusion4landslide_tpu.ops.normals import pca_normals
 from fusion4landslide_tpu.ops.voxel import grid_cells, group_by_cells
 
-__all__ = ["supervoxel_segmentation", "SupervoxelResult"]
+__all__ = [
+    "supervoxel_segmentation",
+    "supervoxel_graph",
+    "SupervoxelResult",
+]
 
 
 class SupervoxelResult(NamedTuple):
@@ -55,6 +59,51 @@ def _vccs(p, n_p, q, n_q, resolution):
     return 1.0 - jnp.abs(jnp.sum(n_p * n_q, axis=-1)) + d / resolution * 0.4
 
 
+def supervoxel_graph(
+    points: jax.Array,
+    resolution: jax.Array | float,
+    mask: jax.Array | None = None,
+    *,
+    k_neighbors: int = 15,
+) -> tuple[jax.Array, jax.Array]:
+    """kNN graph (neigh_idx, neigh_mask) for supervoxel label propagation.
+
+    Exposed separately so multi-level partitions (fusion's superpoint levels
+    1..3, coarse_to_fine_matching.py:215-287) build the graph — the dominant
+    cost — ONCE and reuse it across levels: the k nearest neighbours do not
+    depend on the level radius, which only scales the VCCS metric.
+    """
+    n = points.shape[0]
+    valid = (
+        jnp.ones((n,), bool) if mask is None else jnp.asarray(mask).astype(bool)
+    )
+    from fusion4landslide_tpu.ops.knn_pallas import pallas_available
+
+    concrete = not isinstance(resolution, jax.core.Tracer) and not isinstance(
+        points, jax.core.Tracer
+    )
+    if pallas_available() and concrete:
+        from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
+        from fusion4landslide_tpu.ops.hashgrid_pallas import (
+            radius_sample_window,
+        )
+
+        grid = build_hash_grid(points, float(resolution), valid)
+        cand_i, cand_v, cand_x, _ = radius_sample_window(
+            points, grid, float(resolution), 128, priority="distance"
+        )
+        d2 = jnp.sum((cand_x - points[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cand_v, d2, jnp.inf)
+        neg, sel = jax.lax.top_k(-d2, k_neighbors)
+        neigh_idx = jnp.take_along_axis(cand_i, sel, axis=1)
+        neigh_mask = jnp.isfinite(-neg)
+        neigh_idx = jnp.where(neigh_mask, neigh_idx, 0)
+    else:
+        sqd, neigh_idx = knn(points, points, k_neighbors, valid)
+        neigh_mask = jnp.isfinite(sqd)
+    return neigh_idx, neigh_mask
+
+
 def supervoxel_segmentation(
     points: jax.Array,
     resolution: jax.Array | float,
@@ -62,6 +111,9 @@ def supervoxel_segmentation(
     *,
     k_neighbors: int = 15,
     num_sweeps: int = 24,
+    neigh_idx: jax.Array | None = None,
+    neigh_mask: jax.Array | None = None,
+    normals: jax.Array | None = None,
 ) -> SupervoxelResult:
     """Segment a point cloud into supervoxels of roughly ``resolution`` size.
 
@@ -88,28 +140,10 @@ def supervoxel_segmentation(
     valid = (
         jnp.ones((n,), bool) if mask is None else jnp.asarray(mask).astype(bool)
     )
-
-    from fusion4landslide_tpu.ops.knn_pallas import pallas_available
-
-    if pallas_available():
-        from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
-        from fusion4landslide_tpu.ops.hashgrid_pallas import (
-            radius_sample_window,
+    if neigh_idx is None or neigh_mask is None:
+        neigh_idx, neigh_mask = supervoxel_graph(
+            points, resolution, valid, k_neighbors=k_neighbors
         )
-
-        grid = build_hash_grid(points, float(resolution), valid)
-        cand_i, cand_v, cand_x, _ = radius_sample_window(
-            points, grid, float(resolution), 128, priority="distance"
-        )
-        d2 = jnp.sum((cand_x - points[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(cand_v, d2, jnp.inf)
-        neg, sel = jax.lax.top_k(-d2, k_neighbors)
-        neigh_idx = jnp.take_along_axis(cand_i, sel, axis=1)
-        neigh_mask = jnp.isfinite(-neg)
-        neigh_idx = jnp.where(neigh_mask, neigh_idx, 0)
-    else:
-        sqd, neigh_idx = knn(points, points, k_neighbors, valid)
-        neigh_mask = jnp.isfinite(sqd)
     return _supervoxel_core(
         points,
         jnp.asarray(resolution, points.dtype),
@@ -117,6 +151,7 @@ def supervoxel_segmentation(
         neigh_idx,
         neigh_mask,
         num_sweeps=num_sweeps,
+        normals=normals,
     )
 
 
@@ -127,18 +162,23 @@ def _supervoxel_core(
     valid: jax.Array,
     neigh_idx: jax.Array,
     neigh_mask: jax.Array,
+    normals: jax.Array | None = None,
     *,
     num_sweeps: int = 24,
 ) -> SupervoxelResult:
-    """Seeding + VCCS label propagation over a precomputed kNN graph."""
+    """Seeding + VCCS label propagation over a precomputed kNN graph.
+
+    ``normals`` may be precomputed (they depend only on the graph, not the
+    level radius — multi-level partitions reuse them)."""
     n = points.shape[0]
-    normals = pca_normals(
-        points,
-        neigh_idx.shape[1],
-        valid,
-        neigh_idx=neigh_idx,
-        neigh_mask=neigh_mask,
-    )
+    if normals is None:
+        normals = pca_normals(
+            points,
+            neigh_idx.shape[1],
+            valid,
+            neigh_idx=neigh_idx,
+            neigh_mask=neigh_mask,
+        )
 
     # --- Seeds: one per occupied grid cell at the target resolution
     # (supervoxel_segmentation.h:254-264). Seed point = nearest to centroid.

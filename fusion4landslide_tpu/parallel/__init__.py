@@ -1,8 +1,17 @@
 """Device-mesh parallelism: tiles are the data-parallel axis."""
 
-from fusion4landslide_tpu.parallel.mesh import (
-    sharded_displacement_step,
-    tile_mesh,
+from fusion4landslide_tpu.parallel.mesh import tile_mesh
+from fusion4landslide_tpu.parallel.pipeline import (
+    make_sharded_f2s3_step,
+    make_sharded_fusion3d_step,
+    run_f2s3_tiles_sharded,
+    run_fusion3d_tiles_sharded,
 )
 
-__all__ = ["tile_mesh", "sharded_displacement_step"]
+__all__ = [
+    "tile_mesh",
+    "make_sharded_f2s3_step",
+    "run_f2s3_tiles_sharded",
+    "make_sharded_fusion3d_step",
+    "run_fusion3d_tiles_sharded",
+]

@@ -1,0 +1,403 @@
+"""Sharded multi-tile execution of the real pipelines.
+
+The reference processes tiles in a serial single-GPU loop
+(main_f2s3.py:66-89, main_fusion.py:134). Here a batch of padded tiles
+``(T, N, 3)`` is sharded over the mesh's ``tiles`` axis with ``shard_map``;
+every device runs the identical device-resident tile program
+(``pipelines.f2s3_device.f2s3_tile_step``) on its local slab, sequentially
+via ``lax.map`` (one tile saturates a chip; parallelism is across devices).
+Model parameters are replicated. There are no collectives during compute —
+the ±20 m tiling halo makes per-tile matching exact (SURVEY §2.3) — so the
+program scales linearly over ICI.
+
+Host side: ``run_f2s3_tiles_sharded`` pads/stacks tiles, pumps batches of
+``T = n_devices`` through the jitted step, and writes the per-tile result
+tables (identical artifact contract to the serial path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from fusion4landslide_tpu.parallel.mesh import tile_mesh
+from fusion4landslide_tpu.pipelines.f2s3_device import f2s3_tile_step
+from fusion4landslide_tpu.pipelines.fusion_device import fusion3d_tile_step
+
+__all__ = [
+    "make_sharded_f2s3_step",
+    "run_f2s3_tiles_sharded",
+    "make_sharded_fusion3d_step",
+    "run_fusion3d_tiles_sharded",
+]
+
+
+def make_sharded_f2s3_step(mesh, dips_params, filt_params, **statics):
+    """Jitted multi-tile F2S3 step over ``mesh``.
+
+    Returns ``step(src (T,N,3), smask (T,N), tgt (T,M,3), tmask (T,M),
+    keys (T,2), max_disp (T,), voxel_size (T,)) -> F2S3TileResult`` with a
+    leading tile axis, sharded over the mesh's ``tiles`` axis (T must be a
+    multiple of the mesh size).
+    """
+    per_tile = functools.partial(f2s3_tile_step, **statics)
+
+    def local(src, smask, tgt, tmask, keys, max_disp, voxel_size):
+        return jax.lax.map(
+            lambda a: per_tile(dips_params, filt_params, *a),
+            (src, smask, tgt, tmask, keys, max_disp, voxel_size),
+        )
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tiles"),) * 7,
+        out_specs=P("tiles"),
+        # Per-tile programs are trivially SPMD (no collectives); the scan
+        # carries inside kNN seed with constants that the varying-manual-axes
+        # checker would flag against device-varying outputs.
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def run_f2s3_tiles_sharded(
+    cfg,
+    dips_params,
+    filt_params,
+    tiles: list[tuple[str | int, np.ndarray, np.ndarray]],
+    *,
+    logger=None,
+    rng_seed: int = 0,
+    mesh=None,
+) -> dict:
+    """Process an epoch pair's tiles data-parallel over the device mesh.
+
+    Args:
+        tiles: list of (tile_id, src_points (n,3), tgt_points (m,3)).
+
+    Writes the same per-tile result tables as the serial
+    ``pipelines.f2s3.run_f2s3_tile`` path and returns
+    {tile_id: {"dvfs", "magnitudes"}}.
+    """
+    import os
+    import os.path as osp
+
+    from fusion4landslide_tpu.ops.segments import bucket_size
+    from fusion4landslide_tpu.pipelines.f2s3 import write_f2s3_outputs
+
+    if not tiles:
+        return {}
+    mesh = mesh or tile_mesh()
+    n_dev = mesh.devices.size
+
+    # Common padded shapes across the whole epoch: one compile.
+    N = bucket_size(max(t[1].shape[0] for t in tiles))
+    M = bucket_size(max(t[2].shape[0] for t in tiles))
+    chunk = min(int(cfg.get("feat_chunk", 2048)), N)
+    sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
+    member_cap = int(cfg.get("member_cap", 0)) or 1024
+
+    rockfall = "rockfall" in str(cfg.get("output_dir", "")).lower() or str(
+        cfg.get("dataset", "")
+    ).lower().startswith("rockfall")
+    statics = dict(
+        k_max=int(cfg.get("feat_k_max", 512)),
+        patch_points=int(cfg.get("feat_patch_points", 256)),
+        chunk=chunk,
+        k_neighbors=int(cfg.get("n_normals", 30)),
+        sv_cap=sv_cap,
+        member_cap=member_cap,
+        rockfall=rockfall,
+        refine_results=bool(cfg.get("refine_results", True)),
+        small_patch_removal=bool(cfg.get("small_patch_removal", True)),
+        num_layers=sum(
+            1 for k in filt_params["params"] if str(k).startswith("block")
+        ),
+        with_c2c=bool(cfg.get("fill_gaps_c2c", False)),
+    )
+    step = make_sharded_f2s3_step(mesh, dips_params, filt_params, **statics)
+
+    max_disp = float(cfg.get("max_disp_magnitude", 0) or 0)
+    voxel_size = float(cfg.get("voxel_size", 0.0) or 0.0)
+
+    results: dict = {}
+    key = jax.random.PRNGKey(rng_seed)
+    for start in range(0, len(tiles), n_dev):
+        batch = tiles[start : start + n_dev]
+        T = n_dev  # pad the batch by repeating the last tile (ignored)
+        src_b = np.zeros((T, N, 3), np.float32)
+        smask_b = np.zeros((T, N), bool)
+        tgt_b = np.zeros((T, M, 3), np.float32)
+        tmask_b = np.zeros((T, M), bool)
+        centers = []
+        for i in range(T):
+            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
+            center = src.mean(axis=0)
+            centers.append(center)
+            s = (src - center).astype(np.float32)
+            t = (tgt - center).astype(np.float32)
+            src_b[i, : s.shape[0]] = s
+            smask_b[i, : s.shape[0]] = True
+            tgt_b[i, : t.shape[0]] = t
+            tmask_b[i, : t.shape[0]] = True
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, T)
+        out = step(
+            jnp.asarray(src_b),
+            jnp.asarray(smask_b),
+            jnp.asarray(tgt_b),
+            jnp.asarray(tmask_b),
+            keys,
+            jnp.full((T,), max_disp, jnp.float32),
+            jnp.full((T,), voxel_size, jnp.float32),
+        )
+        out = jax.device_get(out)
+
+        for i, (tile_id, src, tgt) in enumerate(batch):
+            n, m = src.shape[0], tgt.shape[0]
+            center = centers[i]
+            s = src_b[i, :n]
+            t = tgt_b[i, :m]
+            if int(out.n_dropped[i]) and logger:
+                logger.warning(
+                    "tile %s: %d points exceeded the supervoxel caps "
+                    "(sv_cap=%d, member_cap=%d) and were not filtered",
+                    tile_id, int(out.n_dropped[i]), sv_cap, member_cap,
+                )
+            # Interim pre-pruning dvfms (f2s3.py:286-294).
+            out_root = osp.join(
+                str(cfg.get("output_dir", ".")),
+                str(cfg.get("output_folder", "run")),
+            )
+            results_dir = osp.join(out_root, "results")
+            os.makedirs(results_dir, exist_ok=True)
+            mag0 = np.linalg.norm(out.nn_tgt[i, :n] - s, axis=1)
+            np.savetxt(
+                osp.join(
+                    results_dir,
+                    f"f2s3_dvfms_without_pruning_of_tile_{tile_id}.txt",
+                ),
+                np.hstack([s + center, mag0[:, None]]),
+            )
+            pruned = np.hstack([s, out.new_tgt[i, :n]])
+            c2c = out.c2c[i, :n] if statics["with_c2c"] else None
+            written = write_f2s3_outputs(
+                cfg,
+                tile_id,
+                center,
+                s,
+                t,
+                pruned,
+                out.keep[i, :n],
+                c2c=c2c,
+                logger=logger,
+            )
+            if logger:
+                logger.info(
+                    "tile %s (sharded): %d kept correspondences",
+                    tile_id,
+                    int(out.keep[i, :n].sum()),
+                )
+            results[tile_id] = written
+    return results
+
+
+def make_sharded_fusion3d_step(mesh, dips_params, agg_params, **statics):
+    """Jitted multi-tile fusion_3d step over ``mesh``.
+
+    Returns ``step(src (T,N,3), smask (T,N), tgt (T,M,3), tmask (T,M),
+    keys (T,2), max_magnitude (T,), icp_threshold (T,), voxel_size_init
+    (T,)) -> Fusion3DTileResult`` with a leading tile axis sharded over the
+    mesh's ``tiles`` axis (T must be a multiple of the mesh size).
+    """
+    per_tile = functools.partial(fusion3d_tile_step, **statics)
+
+    def local(src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit):
+        return jax.lax.map(
+            lambda a: per_tile(dips_params, agg_params, *a),
+            (src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit),
+        )
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tiles"),) * 8,
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def run_fusion3d_tiles_sharded(
+    cfg,
+    dips_params,
+    agg_params,
+    tiles: list,
+    *,
+    logger=None,
+    rng_seed: int = 0,
+    mesh=None,
+) -> dict:
+    """Process a fusion_3d epoch pair's tiles data-parallel over the mesh.
+
+    Args:
+        tiles: list of (tile_id, src_points (n,3), tgt_points (m,3)).
+
+    Writes the same ``c2f_*`` result tables as the serial
+    ``pipelines.fusion.run_fusion3d_tile`` path.
+    """
+    import os
+    import os.path as osp
+
+    from fusion4landslide_tpu.io.results import (
+        dvf_magnitudes,
+        save_dvfms,
+        visual_clamp_magnitude,
+    )
+    from fusion4landslide_tpu.ops.segments import bucket_size
+
+    if not tiles:
+        return {}
+    mesh = mesh or tile_mesh()
+    n_dev = mesh.devices.size
+
+    N = bucket_size(max(t[1].shape[0] for t in tiles))
+    M = bucket_size(max(t[2].shape[0] for t in tiles))
+    sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
+    member_cap = int(cfg.get("member_cap", 0)) or 512
+    statics = dict(
+        levels=tuple(int(v) for v in (cfg.get("level_of_superpoint") or [1])),
+        k_max=int(cfg.get("feat_k_max", 512)),
+        patch_points=int(cfg.get("feat_patch_points", 256)),
+        chunk=min(int(cfg.get("feat_chunk", 2048)), N),
+        sv_cap=sv_cap,
+        member_cap=member_cap,
+        agg_max_points=min(int(cfg.get("agg_max_points", 512)), member_cap),
+        small_patch=int(cfg.get("num_min_matches_for_small_patch", 10)),
+        with_sparse=str(cfg.get("assign_type", "assign_then_nn"))
+        == "assign_then_nn",
+        with_tgt2src=bool(cfg.get("output_tgt2src", False)),
+    )
+    step = make_sharded_fusion3d_step(mesh, dips_params, agg_params, **statics)
+
+    max_mag = float(cfg.get("max_magnitude", 10.0))
+    icp_thr = float(cfg.get("icp_threshold", 0.1))
+    vinit = float(cfg.get("voxel_size_init", 0.0) or 0.0)
+
+    out_root = osp.join(
+        str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
+    )
+    results_dir = osp.join(out_root, "results")
+    os.makedirs(results_dir, exist_ok=True)
+
+    results: dict = {}
+    key = jax.random.PRNGKey(rng_seed)
+    for start in range(0, len(tiles), n_dev):
+        batch = tiles[start : start + n_dev]
+        T = n_dev
+        src_b = np.zeros((T, N, 3), np.float32)
+        smask_b = np.zeros((T, N), bool)
+        tgt_b = np.zeros((T, M, 3), np.float32)
+        tmask_b = np.zeros((T, M), bool)
+        centers = []
+        for i in range(T):
+            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
+            center = src.mean(axis=0)
+            centers.append(center)
+            s = (src - center).astype(np.float32)
+            t = (tgt - center).astype(np.float32)
+            src_b[i, : s.shape[0]] = s
+            smask_b[i, : s.shape[0]] = True
+            tgt_b[i, : t.shape[0]] = t
+            tmask_b[i, : t.shape[0]] = True
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, T)
+        out = step(
+            jnp.asarray(src_b),
+            jnp.asarray(smask_b),
+            jnp.asarray(tgt_b),
+            jnp.asarray(tmask_b),
+            keys,
+            jnp.full((T,), max_mag, jnp.float32),
+            jnp.full((T,), icp_thr, jnp.float32),
+            jnp.full((T,), vinit, jnp.float32),
+        )
+        out = jax.device_get(out)
+
+        for i, (tile_id, src, tgt) in enumerate(batch):
+            n, m = src.shape[0], tgt.shape[0]
+            center = centers[i]
+            if int(out.n_dropped[i]) and logger:
+                logger.warning(
+                    "tile %s: %d voxels exceeded the supervoxel caps "
+                    "(sv_cap=%d, member_cap=%d)",
+                    tile_id, int(out.n_dropped[i]), sv_cap, member_cap,
+                )
+            valid = out.valid[i, :n]
+            dense_src = src[valid]
+            dense_tgt = out.moved[i, :n][valid] + center
+            dvfs_dense = np.hstack([dense_src, dense_tgt])
+            np.savetxt(
+                osp.join(results_dir, f"c2f_dvfs_src2tgt_tile_{tile_id}.txt"),
+                dvfs_dense,
+            )
+            dvfms = save_dvfms(
+                osp.join(results_dir, f"c2f_dvfms_src2tgt_tile_{tile_id}.txt"),
+                dvfs_dense,
+            )
+            if dvfms.shape[0] > 2:
+                np.savetxt(
+                    osp.join(
+                        results_dir,
+                        f"c2f_dvfms_src2tgt_visualize_tile_{tile_id}.txt",
+                    ),
+                    visual_clamp_magnitude(dvfms, cfg.get("dataset")),
+                )
+            if statics["with_sparse"]:
+                ok = out.sparse_ok[i, :n]
+                dvfs_sparse = np.hstack(
+                    [src[ok], out.sparse_tgt[i, :n][ok] + center]
+                )
+                if dvfs_sparse.shape[0]:
+                    sparse_ms = np.hstack(
+                        [
+                            dvfs_sparse[:, :3],
+                            dvf_magnitudes(dvfs_sparse)[:, None],
+                        ]
+                    )
+                    np.savetxt(
+                        osp.join(
+                            results_dir,
+                            f"c2f_dvfms_src2tgt_discrete_visualize_tile_{tile_id}.txt",
+                        ),
+                        visual_clamp_magnitude(sparse_ms, cfg.get("dataset")),
+                    )
+            if statics["with_tgt2src"]:
+                tok = out.t2s_valid[i, :m]
+                src_est = out.t2s_src_est[i, :m][tok] + center
+                t2s = np.hstack([src_est, tgt[tok]])
+                np.savetxt(
+                    osp.join(
+                        results_dir, f"c2f_dvfms_tgt2src_tile_{tile_id}.txt"
+                    ),
+                    np.hstack([t2s[:, 3:6], dvf_magnitudes(t2s)[:, None]]),
+                )
+            if logger:
+                logger.info(
+                    "tile %s (sharded fusion_3d): %.1f%% of src points "
+                    "assigned, %d/%d voxels",
+                    tile_id,
+                    100.0 * float(valid.mean()) if n else 0.0,
+                    int(out.n_vox_src[i]),
+                    n,
+                )
+            results[tile_id] = {
+                "dvfs": dvfs_dense,
+                "assigned_fraction": float(valid.mean()) if n else 0.0,
+            }
+    return results

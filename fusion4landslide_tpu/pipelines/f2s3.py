@@ -46,8 +46,10 @@ from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
 
 __all__ = [
     "compute_dips_features",
+    "filter_supervoxel_buckets",
     "prune_supervoxel_correspondences",
     "run_f2s3_tile",
+    "write_f2s3_outputs",
 ]
 
 
@@ -137,22 +139,26 @@ def compute_dips_features(
 @functools.partial(
     jax.jit, static_argnames=("num_layers", "s_chunk", "rockfall")
 )
-def _filter_buckets(
+def filter_supervoxel_buckets(
     filt_params,
-    corr: jax.Array,  # (S, P, 6)
-    mask: jax.Array,  # (S, P)
+    correspondences: jax.Array,  # (n, 6) flat point correspondences
+    member_idx: jax.Array,  # (S, P) point index per supervoxel slot
+    member_mask: jax.Array,  # (S, P)
     *,
     num_layers: int = 12,
     s_chunk: int = 64,
     rockfall: bool = False,
 ):
     """Vmapped FilteringNetwork + robust Kabsch re-fit over supervoxel
-    buckets; chunked over S to bound the (S, P, 128) activations."""
+    buckets; chunked over S to bound the (S, P, 128) activations. The
+    (chunk, P, 6) correspondence slab is gathered per chunk so the full
+    (S, P, 6) table never materialises in HBM."""
     model = FilteringNetwork(num_layers=num_layers)
-    S, P, _ = corr.shape
+    S, P = member_idx.shape
 
     def one(args):
-        c, m = args  # (s_chunk, P, 6), (s_chunk, P)
+        mi, m = args  # (s_chunk, P), (s_chunk, P)
+        c = jnp.take(correspondences, mi, axis=0)  # (s_chunk, P, 6)
 
         def single(ci, mi):
             scale = jnp.maximum(
@@ -184,13 +190,13 @@ def _filter_buckets(
         return jax.vmap(single)(c, m)
 
     pad = (-S) % s_chunk
-    corr_p = jnp.pad(corr, ((0, pad), (0, 0), (0, 0)))
-    mask_p = jnp.pad(mask, ((0, pad), (0, 0)))
-    nc = corr_p.shape[0] // s_chunk
+    idx_p = jnp.pad(member_idx, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(member_mask, ((0, pad), (0, 0)))
+    nc = idx_p.shape[0] // s_chunk
     new_tgt, keep, scores, robust = jax.lax.map(
         one,
         (
-            corr_p.reshape(nc, s_chunk, P, 6),
+            idx_p.reshape(nc, s_chunk, P),
             mask_p.reshape(nc, s_chunk, P),
         ),
     )
@@ -226,13 +232,14 @@ def prune_supervoxel_correspondences(
     member_idx, member_mask = label_members(
         jnp.asarray(labels, jnp.int32), S, P
     )
-    corr = jnp.take(jnp.asarray(correspondences, jnp.float32), member_idx, axis=0)
-    new_tgt, keep, scores, robust = _filter_buckets(
-        filt_params, corr, member_mask, rockfall=rockfall, num_layers=num_layers
+    corr_flat = jnp.asarray(correspondences, jnp.float32)
+    new_tgt, keep, scores, robust = filter_supervoxel_buckets(
+        filt_params, corr_flat, member_idx, member_mask,
+        rockfall=rockfall, num_layers=num_layers,
     )
     if not refine_results:
         keep = member_mask & (scores > 0.99999)
-        new_tgt = corr[..., 3:6]
+        new_tgt = jnp.take(corr_flat, member_idx, axis=0)[..., 3:6]
     # Scatter back to per-point arrays.
     out = correspondences.copy()
     keep_pts = np.zeros(len(labels), bool)
@@ -244,6 +251,99 @@ def prune_supervoxel_correspondences(
     out[flat_idx, 3:6] = nt[mm]
     keep_pts[flat_idx] = kp[mm]
     return out, keep_pts
+
+
+def write_f2s3_outputs(
+    cfg,
+    tile_id,
+    center: np.ndarray,
+    s: np.ndarray,  # (n, 3) centred source points
+    t: np.ndarray,  # (m, 3) centred target points
+    pruned: np.ndarray,  # (n, 6) post-filter correspondences (centred)
+    keep: np.ndarray,  # (n,) survived the learned pruning
+    *,
+    c2c: np.ndarray | None = None,  # (n,) spatial 1-NN distances (optional)
+    logger=None,
+) -> dict:
+    """Write the f2s3 result tables for one tile (reference f2s3.py:369-477):
+    max-magnitude gate, dvfs/dvfms (+CloudCompare visualization clamp),
+    30x-median magnitude filter, C2C gap fill. Shared by the serial host
+    path and the sharded multi-tile path."""
+    from fusion4landslide_tpu.io.results import (
+        save_dvfms,
+        visual_clamp_magnitude,
+    )
+
+    out_root = osp.join(
+        str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
+    )
+    results_dir = osp.join(out_root, "results")
+    os.makedirs(results_dir, exist_ok=True)
+
+    filtered = pruned[keep]
+    mags = np.linalg.norm(filtered[:, 3:6] - filtered[:, :3], axis=1)
+
+    # Max-magnitude gate (f2s3.py:392-394).
+    max_disp = float(cfg.get("max_disp_magnitude", 0) or 0)
+    if max_disp > 0:
+        sel = mags <= max_disp
+        filtered, mags = filtered[sel], mags[sel]
+
+    final = np.hstack([filtered[:, :3] + center, filtered[:, 3:6] + center])
+    np.savetxt(osp.join(results_dir, f"f2s3_dvfs_of_tile_{tile_id}.txt"), final)
+    dvfms = save_dvfms(
+        osp.join(results_dir, f"f2s3_dvfms_of_tile_{tile_id}.txt"),
+        final,
+        mags,
+    )
+    if dvfms.shape[0] > 2:
+        vis = visual_clamp_magnitude(dvfms, max_magnitude=5.0)
+        np.savetxt(
+            osp.join(
+                results_dir, f"f2s3_dvfms_of_tile_{tile_id}_visualize_0_5.txt"
+            ),
+            vis,
+        )
+
+    # Median-magnitude filter: drop > 30x median (f2s3.py:427-449).
+    if cfg.get("filter_median_magnitude", False) and mags.size:
+        med = np.median(mags)
+        sel = mags < 30 * med
+        sub = np.hstack([final[sel][:, :3], mags[sel][:, None]])
+        d = osp.join(results_dir, "filtered_by_magnitude")
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(
+            osp.join(d, f"f2s3_dvfms_filtered_by_median_mag_of_tile_{tile_id}.txt"),
+            sub,
+        )
+
+    # C2C gap fill: C2C distance everywhere, learned magnitudes at kept
+    # points (f2s3.py:452-477).
+    if cfg.get("fill_gaps_c2c", False):
+        if c2c is None:
+            from fusion4landslide_tpu.ops.hashgrid import nn1_spatial
+
+            c2c_sq, _ = nn1_spatial(jnp.asarray(s), jnp.asarray(t))
+            c2c = np.sqrt(np.asarray(c2c_sq))
+        else:
+            c2c = np.asarray(c2c).copy()
+        kept_idx = np.where(keep)[0]
+        kmags = np.linalg.norm(
+            pruned[kept_idx][:, 3:6] - pruned[kept_idx][:, :3], axis=1
+        )
+        if max_disp > 0:
+            ksel = kmags <= max_disp
+            kept_idx = kept_idx[ksel]
+            kmags = kmags[ksel]
+        c2c[kept_idx] = kmags
+        d = osp.join(results_dir, "combined_with_c2c")
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(
+            osp.join(d, f"f2s3_dvfms_combined_with_c2c_of_tile_{tile_id}.txt"),
+            np.hstack([s + center, c2c[:, None]]),
+        )
+
+    return {"dvfs": final, "magnitudes": mags}
 
 
 def run_f2s3_tile(
@@ -266,11 +366,6 @@ def run_f2s3_tile(
     output_dir/output_folder (reference schema f2s3_brienz.yaml).
     Coordinates are centred here; outputs restore the original frame.
     """
-    from fusion4landslide_tpu.io.results import (
-        save_dvfms,
-        visual_clamp_magnitude,
-    )
-
     if src_halo is None:
         src_halo = src_core
     if tgt_halo is None:
@@ -373,73 +468,14 @@ def run_f2s3_tile(
         refine_results=bool(cfg.get("refine_results", True)),
     )
 
-    filtered = pruned[keep]
-    mags = np.linalg.norm(filtered[:, 3:6] - filtered[:, :3], axis=1)
-
-    # 6. Max-magnitude gate (f2s3.py:392-394).
-    max_disp = float(cfg.get("max_disp_magnitude", 0) or 0)
-    if max_disp > 0:
-        sel = mags <= max_disp
-        filtered, mags = filtered[sel], mags[sel]
-
-    final = np.hstack([filtered[:, :3] + center, filtered[:, 3:6] + center])
-    np.savetxt(osp.join(results_dir, f"f2s3_dvfs_of_tile_{tile_id}.txt"), final)
-    dvfms = save_dvfms(
-        osp.join(results_dir, f"f2s3_dvfms_of_tile_{tile_id}.txt"),
-        final,
-        mags,
+    # 6.-8. Result tables: gates, dvf(m)s, median filter, C2C fill.
+    written = write_f2s3_outputs(
+        cfg, tile_id, center, s, t, pruned, keep, logger=logger
     )
-    if dvfms.shape[0] > 2:
-        vis = visual_clamp_magnitude(dvfms, max_magnitude=5.0)
-        np.savetxt(
-            osp.join(
-                results_dir, f"f2s3_dvfms_of_tile_{tile_id}_visualize_0_5.txt"
-            ),
-            vis,
-        )
-
-    # 7. Median-magnitude filter: drop > 30x median (f2s3.py:427-449).
-    if cfg.get("filter_median_magnitude", False) and mags.size:
-        med = np.median(mags)
-        sel = mags < 30 * med
-        sub = np.hstack([final[sel][:, :3], mags[sel][:, None]])
-        d = osp.join(results_dir, "filtered_by_magnitude")
-        os.makedirs(d, exist_ok=True)
-        np.savetxt(
-            osp.join(d, f"f2s3_dvfms_filtered_by_median_mag_of_tile_{tile_id}.txt"),
-            sub,
-        )
-
-    # 8. C2C gap fill: C2C distance everywhere, learned magnitudes at kept
-    # points (f2s3.py:452-477).
-    if cfg.get("fill_gaps_c2c", False):
-        from fusion4landslide_tpu.ops.hashgrid import nn1_spatial
-
-        c2c_sq, _ = nn1_spatial(jnp.asarray(s), jnp.asarray(t))
-        c2c = np.sqrt(np.asarray(c2c_sq))
-        kept_idx = np.where(keep)[0]
-        if max_disp > 0:
-            kmags = np.linalg.norm(
-                pruned[keep][:, 3:6] - pruned[keep][:, :3], axis=1
-            )
-            ksel = kmags <= max_disp
-            kept_idx = kept_idx[ksel]
-            kmags = kmags[ksel]
-        else:
-            kmags = np.linalg.norm(
-                pruned[kept_idx][:, 3:6] - pruned[kept_idx][:, :3], axis=1
-            )
-        c2c[kept_idx] = kmags
-        d = osp.join(results_dir, "combined_with_c2c")
-        os.makedirs(d, exist_ok=True)
-        np.savetxt(
-            osp.join(d, f"f2s3_dvfms_combined_with_c2c_of_tile_{tile_id}.txt"),
-            np.hstack([s + center, c2c[:, None]]),
-        )
 
     return {
-        "dvfs": final,
-        "magnitudes": mags,
+        "dvfs": written["dvfs"],
+        "magnitudes": written["magnitudes"],
         "keep": keep,
         "labels": labels,
         "src_feat": src_feat,

@@ -675,6 +675,12 @@ def _fusion_tile_core(
     merged_t = np.zeros((n_src_pts, 3), np.float32)
     merged_valid = np.zeros(n_src_pts, bool)
     merged_rmse = np.zeros(n_src_pts, np.float32)
+    # tgt->src: each matched pair's inverse transform applies to the TARGET
+    # patch's points (exact reference semantics, base:3386-3393).
+    n_tgt_pts = t.shape[0]
+    t2s_R = np.tile(np.eye(3, dtype=np.float32), (n_tgt_pts, 1, 1))
+    t2s_t = np.zeros((n_tgt_pts, 3), np.float32)
+    t2s_valid = np.zeros(n_tgt_pts, bool)
     per_level_stats = []
 
     # Precomputed superpoint partitions (reference partition_type=
@@ -713,6 +719,26 @@ def _fusion_tile_core(
             len(t_p2v)
         )[::-1][t_p2v[::-1] < t_nv]
 
+    # Supervoxel kNN graph + PCA normals are radius-independent: build once
+    # per voxel cloud, reuse across all levels (the reference re-runs the
+    # full C++ segmentation per level, coarse_to_fine_matching.py:215-287).
+    _sv_cache: dict = {}
+
+    def _segment(which, vox_arr, svl_radius):
+        from fusion4landslide_tpu.ops.normals import pca_normals
+        from fusion4landslide_tpu.ops.supervoxel import supervoxel_graph
+
+        if which not in _sv_cache:
+            pts = jnp.asarray(vox_arr)
+            ni, nm = supervoxel_graph(pts, svl_radius)
+            nrm = pca_normals(pts, ni.shape[1], neigh_idx=ni, neigh_mask=nm)
+            _sv_cache[which] = (ni, nm, nrm)
+        ni, nm, nrm = _sv_cache[which]
+        return supervoxel_segmentation(
+            jnp.asarray(vox_arr), svl_radius,
+            neigh_idx=ni, neigh_mask=nm, normals=nrm,
+        )
+
     for level in levels:
         _log(f"tile {tile_id}: stage partition level {level}")
         _lt = __import__("time").perf_counter()
@@ -723,8 +749,8 @@ def _fusion_tile_core(
             raw_t = pt_lab_t[first_pt_of_vox_t]
         else:
             svl_radius = base_svl_radius * (2.0 ** (int(level) - 1))
-            seg_s = supervoxel_segmentation(jnp.asarray(src_vox), svl_radius)
-            seg_t = supervoxel_segmentation(jnp.asarray(tgt_vox), svl_radius)
+            seg_s = _segment("src", src_vox, svl_radius)
+            seg_t = _segment("tgt", tgt_vox, svl_radius)
             raw_s = np.asarray(seg_s.labels)
             raw_t = np.asarray(seg_t.labels)
         lab_s, n_s = _compact_labels(raw_s, small_patch)
@@ -883,6 +909,29 @@ def _fusion_tile_core(
         merged_t[take] = lab_t_arr[lbl[take]]
         merged_rmse[take] = lab_rmse[lbl[take]]
         merged_valid |= take
+
+        if out_tgt2src:
+            # Per-pair inverse transform onto the target patch's points
+            # (base:3386-3393), merged across levels by the same priority.
+            Rinv = fR.transpose(0, 2, 1)
+            tinv = -np.einsum("nij,nj->ni", Rinv, ft)
+            tlab_R = np.tile(np.eye(3, dtype=np.float32), (n_t, 1, 1))
+            tlab_t = np.zeros((n_t, 3), np.float32)
+            tlab_ok = np.zeros(n_t, bool)
+            sel = fvalid
+            tlab_R[pair_tgt[sel]] = Rinv[sel]
+            tlab_t[pair_tgt[sel]] = tinv[sel]
+            tlab_ok[pair_tgt[sel]] = True
+            tp_label = np.where(
+                t_p2v < t_nv, lab_t[np.clip(t_p2v, 0, max(t_nv - 1, 0))], -1
+            )
+            tp_has = (tp_label >= 0) & tlab_ok[np.clip(tp_label, 0, None)]
+            ttake = tp_has & ~t2s_valid
+            tl = np.clip(tp_label, 0, None)
+            t2s_R[ttake] = tlab_R[tl[ttake]]
+            t2s_t[ttake] = tlab_t[tl[ttake]]
+            t2s_valid |= ttake
+
         per_level_stats.append((level, n_s, int(fvalid.sum())))
         timer.stages[f"match_l{level}"] = (
             __import__("time").perf_counter() - _lt
@@ -945,20 +994,15 @@ def _fusion_tile_core(
             visual_clamp_magnitude(sparse_ms, cfg.get("dataset")),
         )
 
-    # tgt -> src output (base:3386-3393): inverse transform per target point.
-    if out_tgt2src and merged_valid.any():
-        # Assign each tgt point the transform of its matched src patch is the
-        # reference behaviour per pair; here invert the per-point transform
-        # of the nearest assigned source point.
-        from fusion4landslide_tpu.ops.hashgrid import nn1_spatial
-
-        _, near_src = nn1_spatial(jnp.asarray(t), jnp.asarray(s[merged_valid]))
-        near_src = np.asarray(near_src)
-        idx_assigned = np.where(merged_valid)[0][near_src]
-        Rm = merged_R[idx_assigned]
-        tm = merged_t[idx_assigned]
-        src_est = np.einsum("nij,nj->ni", Rm.transpose(0, 2, 1), t - tm)
-        dvfs_t2s = np.hstack([src_est + center, tgt_core])
+    # tgt -> src output (base:3386-3393): each matched pair's inverse
+    # transform applied to its target patch's points (exact semantics;
+    # unmatched target points are not written, as in the reference).
+    if out_tgt2src and t2s_valid.any():
+        src_est = (
+            np.einsum("nij,nj->ni", t2s_R[t2s_valid], t[t2s_valid])
+            + t2s_t[t2s_valid]
+        )
+        dvfs_t2s = np.hstack([src_est + center, tgt_core[t2s_valid]])
         np.savetxt(
             osp.join(results_dir, f"c2f_dvfms_tgt2src_tile_{tile_id}.txt"),
             np.hstack(

@@ -1,0 +1,478 @@
+"""Device-resident fusion_3d tile step: the full coarse-to-fine pipeline
+(median resolution → adaptive voxel subsampling → DIPs descriptors → global
+3D matches → multi-level supervoxel partition → attention aggregation →
+coarse mutual matching → fine per-patch SVD+ICP → priority merge → dense /
+sparse / tgt2src outputs) as ONE pure, fixed-shape, jittable function.
+
+This is the multi-chip execution path for the flagship 3D method (reference
+``Coarse2Fine.implement_c2f_matching``, src/coarse_to_fine_matching.py:201-290
+with use_2d_matches=False; per-stage citations in ``pipelines.fusion``). The
+host path (``pipelines.fusion.run_fusion3d_tile``) keeps the Pallas grid
+kernels and artifact caching for single-chip runs; this module trades those
+for full traceability so a batch of padded tiles ``(T, N, 3)`` shards over a
+device mesh (``parallel.pipeline.make_sharded_fusion3d_step``).
+
+Fixed-shape conventions:
+- voxel clouds are padded to the input point count N (there are at most N
+  occupied voxels); validity = ``arange(N) < n_voxels``,
+- supervoxels use static caps ``(sv_cap, member_cap)``; labels past sv_cap
+  or members past member_cap drop out of matching for that level (counted in
+  ``n_dropped``). Aggregation additionally strides members down to
+  ``agg_max_points`` like the host path,
+- the superpoint-level coarse matcher is chunked over target superpoints so
+  the (S_s, S_t) distance matrix never fully materialises,
+- the tgt2src output uses the EXACT reference semantics (base:3386-3393):
+  every target point of a matched patch pair gets that pair's inverse
+  transform (not the transform of the nearest assigned source point).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fusion4landslide_tpu.models.aggregation import ClusterFeatureNet
+from fusion4landslide_tpu.ops.knn import knn, nn1
+from fusion4landslide_tpu.ops.segments import label_members
+from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
+from fusion4landslide_tpu.ops.voxel import voxel_downsample
+from fusion4landslide_tpu.pipelines.f2s3_device import (
+    dips_features_device,
+    drop_small_and_compact,
+    masked_median,
+)
+from fusion4landslide_tpu.pipelines.fusion import (
+    fine_match_pairs,
+    global_matches_3d,
+)
+
+__all__ = [
+    "Fusion3DTileResult",
+    "fusion3d_tile_step",
+    "coarse_match_superpoints_chunked",
+]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "mutual"))
+def coarse_match_superpoints_chunked(
+    feat_s: jax.Array,  # (S, D)
+    coord_s: jax.Array,  # (S, 3)
+    valid_s: jax.Array,  # (S,)
+    feat_t: jax.Array,  # (Q, D)
+    coord_t: jax.Array,  # (Q, 3)
+    valid_t: jax.Array,  # (Q,)
+    max_magnitude: jax.Array | float,
+    *,
+    chunk: int = 2048,
+    mutual: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Memory-bounded superpoint matching (base:2966-2999): feature cdist
+    with centroid pairs farther than ``max_magnitude`` masked to +inf,
+    argmin per source superpoint, optional mutual check — scanned over
+    target chunks so only an (S, chunk) slab is live.
+
+    Returns (tgt_idx (S,), valid (S,)).
+    """
+    S = feat_s.shape[0]
+    Q = feat_t.shape[0]
+    chunk = min(chunk, max(Q, 1))
+    pad = (-Q) % chunk
+    ft = jnp.pad(feat_t, ((0, pad), (0, 0)))
+    ct = jnp.pad(coord_t, ((0, pad), (0, 0)))
+    vt = jnp.pad(valid_t.astype(bool), (0, pad))
+    nq = ft.shape[0] // chunk
+    hp = jax.lax.Precision.HIGHEST
+    s2 = jnp.sum(feat_s**2, -1)
+    vs = valid_s.astype(bool)
+    mm2 = jnp.asarray(max_magnitude, feat_s.dtype) ** 2
+
+    def dist_block(ftc, ctc, vtc):
+        f2 = (
+            s2[:, None]
+            - 2.0
+            * jnp.matmul(
+                feat_s, ftc.T, precision=hp,
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.sum(ftc**2, -1)[None, :]
+        )
+        c2 = None
+        for d in range(3):
+            cd = coord_s[:, None, d] - ctc[None, :, d]
+            c2 = cd * cd if c2 is None else c2 + cd * cd
+        bad = (c2 > mm2) | ~vs[:, None] | ~vtc[None, :]
+        return jnp.where(bad, jnp.inf, f2)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        ftc, ctc, vtc, base = inp
+        d = dist_block(ftc, ctc, vtc)  # (S, chunk)
+        # per-source running min
+        m = jnp.min(d, axis=1)
+        a = jnp.argmin(d, axis=1) + base
+        upd = m < best_d
+        best_d = jnp.where(upd, m, best_d)
+        best_i = jnp.where(upd, a, best_i)
+        # per-target argmin over ALL sources (chunk-local, emitted)
+        src_of_t = jnp.argmin(d, axis=0)
+        return (best_d, best_i), src_of_t
+
+    init = (jnp.full((S,), jnp.inf, feat_s.dtype), jnp.zeros((S,), jnp.int32))
+    bases = (jnp.arange(nq) * chunk).astype(jnp.int32)
+    (best_d, best_i), src_of_tgt = jax.lax.scan(
+        step,
+        init,
+        (
+            ft.reshape(nq, chunk, -1),
+            ct.reshape(nq, chunk, 3),
+            vt.reshape(nq, chunk),
+            bases,
+        ),
+    )
+    src_of_tgt = src_of_tgt.reshape(-1)  # (Q_padded,)
+    valid = jnp.isfinite(best_d)
+    if mutual:
+        valid = valid & (
+            jnp.take(src_of_tgt, best_i) == jnp.arange(S)
+        )
+    return best_i, valid
+
+
+def _aggregate_chunked(
+    agg_params,
+    feat_arr: jax.Array,  # (V, D) per-voxel descriptors
+    coords: jax.Array,  # (V, 3)
+    member_idx: jax.Array,  # (S, P)
+    member_mask: jax.Array,  # (S, P)
+    *,
+    agg_max_points: int,
+    s_chunk: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """ClusterFeatureNet over supervoxel buckets, chunked over S with a
+    strided member subsample bounding the quadratic attention
+    (reference aggregates over voxel-subsampled patches,
+    feature_aggregation/...:80-83)."""
+    model = ClusterFeatureNet()
+    S, P = member_idx.shape
+    if P > agg_max_points:
+        stride = -(-P // agg_max_points)
+        member_idx_a = member_idx[:, ::stride][:, :agg_max_points]
+        member_mask_a = member_mask[:, ::stride][:, :agg_max_points]
+    else:
+        member_idx_a, member_mask_a = member_idx, member_mask
+
+    pad = (-S) % s_chunk
+    mi = jnp.pad(member_idx_a, ((0, pad), (0, 0)))
+    mm = jnp.pad(member_mask_a, ((0, pad), (0, 0)))
+    nc = mi.shape[0] // s_chunk
+
+    def one(args):
+        mic, mmc = args
+        feats = jnp.take(feat_arr, mic, axis=0) * mmc[..., None]
+        return model.apply(agg_params, feats, mmc)
+
+    spt_feat = jax.lax.map(
+        one, (mi.reshape(nc, s_chunk, -1), mm.reshape(nc, s_chunk, -1))
+    ).reshape(-1, 64)[:S]
+
+    # Centroid over the FULL member set (not the strided subsample).
+    w = member_mask.astype(coords.dtype)[..., None]
+    cent = jnp.sum(jnp.take(coords, member_idx, axis=0) * w, axis=1)
+    cent = cent / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    return spt_feat, cent
+
+
+class Fusion3DTileResult(NamedTuple):
+    moved: jax.Array  # (N, 3) R p + t per src point (p where unassigned)
+    valid: jax.Array  # (N,) src point got a fine transform
+    rmse: jax.Array  # (N,) its pair's ICP inlier RMSE
+    sparse_tgt: jax.Array  # (N, 3) assign_then_nn re-associated target
+    sparse_ok: jax.Array  # (N,)
+    t2s_src_est: jax.Array  # (M, 3) per-target estimated source position
+    t2s_valid: jax.Array  # (M,)
+    median_res: jax.Array  # ()
+    n_vox_src: jax.Array  # ()
+    n_vox_tgt: jax.Array  # ()
+    n_dropped: jax.Array  # () voxels lost to the static supervoxel caps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels",
+        "k_max",
+        "patch_points",
+        "chunk",
+        "k_neighbors",
+        "sv_cap",
+        "member_cap",
+        "agg_max_points",
+        "small_patch",
+        "icp_max_iter",
+        "fine_max_matches",
+        "with_sparse",
+        "with_tgt2src",
+        "precision",
+    ),
+)
+def fusion3d_tile_step(
+    dips_params,
+    agg_params,
+    src: jax.Array,  # (N, 3) centred, padded
+    smask: jax.Array,  # (N,)
+    tgt: jax.Array,  # (M, 3) centred, padded
+    tmask: jax.Array,  # (M,)
+    key: jax.Array,
+    max_magnitude: jax.Array | float = 10.0,
+    icp_threshold: jax.Array | float = 0.1,
+    voxel_size_init: jax.Array | float = 0.0,
+    num_min_fine: jax.Array | int = 10,
+    num_min_quality: jax.Array | int = 10,
+    thres_dist_diff: jax.Array | float = 0.5,
+    thres_inlier_ratio: jax.Array | float = 0.15,
+    *,
+    levels: tuple[int, ...] = (1, 2, 3),
+    k_max: int = 512,
+    patch_points: int = 256,
+    chunk: int = 2048,
+    k_neighbors: int = 15,
+    sv_cap: int = 1024,
+    member_cap: int = 512,
+    agg_max_points: int = 512,
+    small_patch: int = 10,
+    icp_max_iter: int = 30,
+    fine_max_matches: int = 1024,
+    with_sparse: bool = True,
+    with_tgt2src: bool = True,
+    precision: str = "default",
+) -> Fusion3DTileResult:
+    """One fusion_3d tile, entirely on device. Stage citations in
+    ``pipelines.fusion`` (host path); this function reproduces the same
+    math over padded fixed-shape tensors."""
+    f32 = src.dtype
+    smask = smask.astype(bool)
+    tmask = tmask.astype(bool)
+    N = src.shape[0]
+    M = tgt.shape[0]
+    k_s, k_t = jax.random.split(key)
+
+    # 1. median resolution (base:2716-2754) + adaptive voxel subsampling
+    # (base:1012-1057).
+    sq_s, _ = knn(src, src, 1, smask, exclude_self=True)
+    sq_t, _ = knn(tgt, tgt, 1, tmask, exclude_self=True)
+    d_s, d_t = jnp.sqrt(sq_s[:, 0]), jnp.sqrt(sq_t[:, 0])
+    res_s = masked_median(d_s, smask & jnp.isfinite(d_s))
+    res_t = masked_median(d_t, tmask & jnp.isfinite(d_t))
+    median_res = jnp.maximum(res_s, res_t)
+    radius = jnp.sqrt(3.0) * 10.0 * median_res
+
+    s_cent, s_p2v, _, s_nv = voxel_downsample(src, median_res, smask)
+    t_cent, t_p2v, _, t_nv = voxel_downsample(tgt, median_res, tmask)
+    vvalid_s = jnp.arange(N) < s_nv
+    vvalid_t = jnp.arange(M) < t_nv
+
+    # 2. DIPs descriptors on the voxel clouds (base:1965-2049); support =
+    # the full point clouds.
+    feat_kw = dict(
+        k_max=k_max, patch_points=patch_points, chunk=chunk,
+        precision=precision,
+    )
+    src_feat = dips_features_device(
+        dips_params, s_cent, src, smask, radius, k_s, **feat_kw
+    )
+    tgt_feat = dips_features_device(
+        dips_params, t_cent, tgt, tmask, radius, k_t, **feat_kw
+    )
+
+    # 3. Global 3D voxel matches (base:2756-2889).
+    g_idx, g_valid = global_matches_3d(
+        src_feat, tgt_feat, s_cent, t_cent,
+        jnp.asarray(max_magnitude, f32), vvalid_s, vvalid_t,
+    )
+
+    base_svl = jnp.maximum(radius, jnp.asarray(voxel_size_init, f32))
+
+    # The supervoxel kNN graph and PCA normals do not depend on the level
+    # radius — build them ONCE per cloud and reuse across all levels
+    # (the reference re-runs the C++ segmentation per level,
+    # coarse_to_fine_matching.py:215-287).
+    from fusion4landslide_tpu.ops.normals import pca_normals
+    from fusion4landslide_tpu.ops.supervoxel import supervoxel_graph
+
+    gi_s, gm_s = supervoxel_graph(
+        s_cent, base_svl, vvalid_s, k_neighbors=k_neighbors
+    )
+    nrm_s = pca_normals(
+        s_cent, k_neighbors, vvalid_s, neigh_idx=gi_s, neigh_mask=gm_s
+    )
+    gi_t, gm_t = supervoxel_graph(
+        t_cent, base_svl, vvalid_t, k_neighbors=k_neighbors
+    )
+    nrm_t = pca_normals(
+        t_cent, k_neighbors, vvalid_t, neigh_idx=gi_t, neigh_mask=gm_t
+    )
+
+    merged_R = jnp.broadcast_to(jnp.eye(3, dtype=f32), (N, 3, 3))
+    merged_t = jnp.zeros((N, 3), f32)
+    merged_valid = jnp.zeros((N,), bool)
+    merged_rmse = jnp.zeros((N,), f32)
+    t2s_R = jnp.broadcast_to(jnp.eye(3, dtype=f32), (M, 3, 3))
+    t2s_t = jnp.zeros((M, 3), f32)
+    t2s_valid = jnp.zeros((M,), bool)
+    n_dropped = jnp.zeros((), jnp.int32)
+
+    for level in levels:
+        svl_radius = base_svl * (2.0 ** (int(level) - 1))
+        seg_s = supervoxel_segmentation(
+            s_cent, svl_radius, vvalid_s,
+            neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,
+        )
+        seg_t = supervoxel_segmentation(
+            t_cent, svl_radius, vvalid_t,
+            neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t,
+        )
+        lab_s, n_s = drop_small_and_compact(seg_s.labels, vvalid_s, small_patch)
+        lab_t, n_t = drop_small_and_compact(seg_t.labels, vvalid_t, small_patch)
+
+        mem_s, memmask_s = label_members(lab_s, sv_cap, member_cap)
+        mem_t, memmask_t = label_members(lab_t, sv_cap, member_cap)
+        in_table = (
+            jnp.zeros((N,), bool)
+            .at[jnp.where(memmask_s, mem_s, N)]
+            .set(memmask_s, mode="drop")
+        )
+        n_dropped = n_dropped + jnp.sum(
+            vvalid_s & (lab_s >= 0) & ~in_table
+        )
+
+        # 4. Superpoint aggregation (base:2561-2656) + coarse matching
+        # (base:2966-2999).
+        spt_feat_s, spt_coord_s = _aggregate_chunked(
+            agg_params, src_feat, s_cent, mem_s, memmask_s,
+            agg_max_points=agg_max_points,
+        )
+        spt_feat_t, spt_coord_t = _aggregate_chunked(
+            agg_params, tgt_feat, t_cent, mem_t, memmask_t,
+            agg_max_points=agg_max_points,
+        )
+        svalid_s = jnp.arange(sv_cap) < n_s
+        svalid_t = jnp.arange(sv_cap) < n_t
+        tgt_of_src, pair_valid = coarse_match_superpoints_chunked(
+            spt_feat_s, spt_coord_s, svalid_s,
+            spt_feat_t, spt_coord_t, svalid_t,
+            jnp.asarray(max_magnitude, f32),
+        )
+
+        # 5. Fine matching per matched pair (base:3236-3436): every src
+        # superpoint slot is a candidate pair; invalid ones masked out.
+        fine = fine_match_pairs(
+            mem_s,
+            memmask_s & pair_valid[:, None],
+            jnp.where(pair_valid, tgt_of_src, -1).astype(jnp.int32),
+            g_idx.astype(jnp.int32),
+            g_valid,
+            lab_t,
+            s_cent,
+            t_cent,
+            num_min_quality=num_min_quality,
+            thres_dist_diff=thres_dist_diff,
+            thres_inlier_ratio=thres_inlier_ratio,
+            num_min_fine=num_min_fine,
+            icp_threshold=icp_threshold,
+            icp_max_iter=icp_max_iter,
+            fine_max_matches=fine_max_matches,
+        )
+        lab_ok = fine.valid & pair_valid & svalid_s
+
+        # 6. Dense per-point assignment, merged by level priority
+        # (coarse_to_fine_matching.py:215-287).
+        pt_vox = jnp.clip(s_p2v, 0, N - 1)
+        pt_label = jnp.where(
+            smask & (s_p2v < s_nv), jnp.take(lab_s, pt_vox), -1
+        )
+        pl = jnp.clip(pt_label, 0, sv_cap - 1)
+        pt_has = (pt_label >= 0) & jnp.take(lab_ok, pl)
+        take = pt_has & ~merged_valid
+        merged_R = jnp.where(
+            take[:, None, None], jnp.take(fine.R, pl, axis=0), merged_R
+        )
+        merged_t = jnp.where(
+            take[:, None], jnp.take(fine.t, pl, axis=0), merged_t
+        )
+        merged_rmse = jnp.where(take, jnp.take(fine.rmse, pl), merged_rmse)
+        merged_valid = merged_valid | take
+
+        if with_tgt2src:
+            # Exact reference semantics (base:3386-3393): each matched
+            # pair's inverse transform applies to the TARGET patch's points.
+            Rinv = jnp.swapaxes(fine.R, -1, -2)  # (sv_cap, 3, 3)
+            tinv = -jnp.einsum("sij,sj->si", Rinv, fine.t)
+            # Scatter pair inverse onto its TARGET label slot.
+            tl = jnp.where(lab_ok, tgt_of_src, sv_cap)
+            pair_R_of_tlab = (
+                jnp.broadcast_to(jnp.eye(3, dtype=f32), (sv_cap, 3, 3))
+                .at[tl]
+                .set(Rinv, mode="drop")
+            )
+            pair_t_of_tlab = jnp.zeros((sv_cap, 3), f32).at[tl].set(
+                tinv, mode="drop"
+            )
+            pair_ok_of_tlab = jnp.zeros((sv_cap,), bool).at[tl].set(
+                lab_ok, mode="drop"
+            )
+            tp_vox = jnp.clip(t_p2v, 0, M - 1)
+            tp_label = jnp.where(
+                tmask & (t_p2v < t_nv), jnp.take(lab_t, tp_vox), -1
+            )
+            tpl = jnp.clip(tp_label, 0, sv_cap - 1)
+            tp_has = (tp_label >= 0) & jnp.take(pair_ok_of_tlab, tpl)
+            ttake = tp_has & ~t2s_valid
+            t2s_R = jnp.where(
+                ttake[:, None, None],
+                jnp.take(pair_R_of_tlab, tpl, axis=0),
+                t2s_R,
+            )
+            t2s_t = jnp.where(
+                ttake[:, None], jnp.take(pair_t_of_tlab, tpl, axis=0), t2s_t
+            )
+            t2s_valid = t2s_valid | ttake
+
+    # Dense output: R p + t for every assigned source point (base:3371-3380).
+    moved = jnp.einsum("nij,nj->ni", merged_R, src) + merged_t
+    moved = jnp.where(merged_valid[:, None], moved, src)
+
+    # Sparse assign_then_nn (base:3414-3436): re-associate moved points with
+    # actual target points within max(2·rmse, median_res).
+    if with_sparse:
+        nn_sq, nn_i = nn1(moved, tgt, tmask)
+        nn_d = jnp.sqrt(nn_sq)
+        adaptive = jnp.maximum(2.0 * merged_rmse, median_res)
+        sparse_ok = merged_valid & jnp.isfinite(nn_d) & (nn_d < adaptive)
+        sparse_tgt = jnp.take(tgt, nn_i, axis=0)
+    else:
+        sparse_ok = jnp.zeros((N,), bool)
+        sparse_tgt = jnp.zeros((N, 3), f32)
+
+    if with_tgt2src:
+        t2s_src_est = jnp.einsum("mij,mj->mi", t2s_R, tgt) + t2s_t
+        t2s_src_est = jnp.where(t2s_valid[:, None], t2s_src_est, tgt)
+    else:
+        t2s_src_est = jnp.zeros((M, 3), f32)
+        t2s_valid = jnp.zeros((M,), bool)
+
+    return Fusion3DTileResult(
+        moved=moved,
+        valid=merged_valid,
+        rmse=merged_rmse,
+        sparse_tgt=sparse_tgt,
+        sparse_ok=sparse_ok,
+        t2s_src_est=t2s_src_est,
+        t2s_valid=t2s_valid,
+        median_res=median_res,
+        n_vox_src=s_nv,
+        n_vox_tgt=t_nv,
+        n_dropped=n_dropped,
+    )

@@ -74,19 +74,41 @@ def main() -> None:
 
     dips_params, filt_params = load_model_params(cfg)
 
-    for tile_id, src_path, tgt_path in tiles:
-        logger.info("Processing tile %s", tile_id)
-        src = read_ply(src_path)
-        tgt = read_ply(tgt_path)
-        run_f2s3_tile(
-            cfg,
-            dips_params,
-            filt_params,
-            src.points,
-            tgt.points,
-            tile_id=tile_id,
-            logger=logger,
+    import jax
+
+    use_mesh = cfg.get("use_mesh", "auto")
+    if use_mesh == "auto":
+        use_mesh = jax.device_count() > 1 and len(tiles) > 1
+    if use_mesh:
+        # Multi-chip path: tiles sharded over the device mesh, each chip
+        # running the full device-resident tile pipeline.
+        from fusion4landslide_tpu.parallel import run_f2s3_tiles_sharded
+
+        logger.info(
+            "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
         )
+        loaded = []
+        for tile_id, src_path, tgt_path in tiles:
+            loaded.append(
+                (tile_id, read_ply(src_path).points, read_ply(tgt_path).points)
+            )
+        run_f2s3_tiles_sharded(
+            cfg, dips_params, filt_params, loaded, logger=logger
+        )
+    else:
+        for tile_id, src_path, tgt_path in tiles:
+            logger.info("Processing tile %s", tile_id)
+            src = read_ply(src_path)
+            tgt = read_ply(tgt_path)
+            run_f2s3_tile(
+                cfg,
+                dips_params,
+                filt_params,
+                src.points,
+                tgt.points,
+                tile_id=tile_id,
+                logger=logger,
+            )
 
     elapsed = time.time() - start
     logger.info(

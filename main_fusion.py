@@ -126,6 +126,30 @@ def main() -> None:
                 )
         image_kit = (src_img, tgt_img, intrinsic, src_ext, tgt_ext, corres_2d)
 
+    import jax
+
+    use_mesh = cfg.get("use_mesh", "auto")
+    if use_mesh == "auto":
+        use_mesh = (
+            jax.device_count() > 1 and len(tiles) > 1 and image_kit is None
+        )
+    if use_mesh and image_kit is None:
+        # Multi-chip path (3D-only): tiles sharded over the device mesh,
+        # each chip running the device-resident coarse-to-fine pipeline.
+        from fusion4landslide_tpu.parallel import run_fusion3d_tiles_sharded
+
+        logger.info(
+            "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
+        )
+        loaded = [
+            (tile_id, read_ply(sp).points, read_ply(tp).points)
+            for tile_id, sp, tp in tiles
+        ]
+        run_fusion3d_tiles_sharded(
+            cfg, dips_params, agg_params, loaded, logger=logger
+        )
+        tiles = []
+
     for tile_id, src_path, tgt_path in tiles:
         logger.info("Processing tile %s", tile_id)
         src = read_ply(src_path)

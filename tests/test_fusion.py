@@ -112,7 +112,7 @@ def test_run_fusion3d_tile_end_to_end(tmp_path, rng):
         "num_min_matches_for_small_patch": 5,
         "voxel_size_init": 0.1,
         "assign_type": "assign_then_nn",
-        "output_tgt2src": False,
+        "output_tgt2src": True,
         "output_dir": str(tmp_path),
         "output_folder": "run",
         "dataset": "brienz_tls",
@@ -141,6 +141,18 @@ def test_run_fusion3d_tile_end_to_end(tmp_path, rng):
         # moving-region estimated displacement close to truth, stable ~0
         assert np.linalg.norm(np.median(disp[mov], axis=0) - shift) < 0.1
         assert np.linalg.norm(np.median(disp[stab], axis=0)) < 0.05
+
+    # tgt2src (exact per-pair inverse semantics, base:3386-3393): every
+    # matched target patch point carries its pair's inverse magnitude.
+    t2s = np.loadtxt(results / "c2f_dvfms_tgt2src_tile_0.txt")
+    assert t2s.shape[0] > 100
+    tx = t2s[:, 0] - 300.0
+    mov_t = tx > 9.0
+    stab_t = tx < 7.0
+    if mov_t.sum() > 50:
+        assert abs(np.median(t2s[mov_t, 3]) - np.linalg.norm(shift)) < 0.05
+    if stab_t.sum() > 50:
+        assert np.median(t2s[stab_t, 3]) < 0.05
 
 
 def test_fine_match_pairs_compaction_large_patch(rng):

@@ -1,14 +1,58 @@
-"""Multi-device tile sharding on the 8-device virtual CPU mesh."""
+"""Multi-device tile sharding on the 8-device virtual CPU mesh.
+
+The sharded step is the REAL F2S3 per-tile pipeline
+(``pipelines.f2s3_device.f2s3_tile_step``: median resolution → DIPs →
+supervoxels → feature 1-NN → learned pruning → gates), not a demo kernel.
+"""
 
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from fusion4landslide_tpu.models.dips import PointNetFeature
+from fusion4landslide_tpu.models.filtering import FilteringNetwork
 
 needs_mesh = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 (virtual) devices"
 )
+
+STATICS = dict(
+    k_max=16,
+    patch_points=16,
+    chunk=32,
+    k_neighbors=8,
+    sv_cap=64,
+    member_cap=64,
+    num_layers=2,
+    with_c2c=True,
+)
+
+
+def _params(rng_key=0, num_layers=2):
+    dips = PointNetFeature().init(
+        jax.random.PRNGKey(rng_key), np.zeros((2, 16, 3), np.float32)
+    )
+    filt = FilteringNetwork(num_layers=num_layers).init(
+        jax.random.PRNGKey(rng_key + 1),
+        np.zeros((8, 6), np.float32),
+        np.ones((8,), bool),
+    )
+    return dips, filt
+
+
+def _tiles(rng, tiles=8, n_pts=96):
+    src = rng.normal(size=(tiles, n_pts, 3)).astype(np.float32)
+    tgt = src + np.float32(0.05)
+    smask = np.ones((tiles, n_pts), bool)
+    smask[:, -7:] = False  # exercise padding
+    tmask = np.ones((tiles, n_pts), bool)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(tiles, dtype=jnp.uint32))
+    md = np.full((tiles,), 0.0, np.float32)
+    vs = np.full((tiles,), 0.0, np.float32)
+    return src, smask, tgt, tmask, keys, md, vs
 
 
 @needs_mesh
@@ -23,30 +67,202 @@ def test_dryrun_multichip_entrypoint():
 
 
 @needs_mesh
-def test_sharded_step_matches_single_device(rng):
-    import jax.numpy as jnp
+def test_sharded_f2s3_matches_single_device(rng):
+    from fusion4landslide_tpu.parallel import make_sharded_f2s3_step, tile_mesh
 
-    from fusion4landslide_tpu.models.dips import PointNetFeature
+    dips, filt = _params()
+    args = _tiles(rng)
+    out8 = make_sharded_f2s3_step(tile_mesh(8), dips, filt, **STATICS)(*args)
+    out1 = make_sharded_f2s3_step(tile_mesh(1), dips, filt, **STATICS)(*args)
+    np.testing.assert_allclose(
+        np.asarray(out8.new_tgt), np.asarray(out1.new_tgt), atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out8.keep), np.asarray(out1.keep))
+    np.testing.assert_allclose(
+        np.asarray(out8.mag), np.asarray(out1.mag), atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out8.labels), np.asarray(out1.labels)
+    )
+
+
+@needs_mesh
+def test_sharded_f2s3_matches_host_pipeline(rng, tmp_path):
+    """The sharded device step and the serial host path agree on the DVF
+    output files for the same tiles (rigid shift recovered both ways)."""
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.parallel import run_f2s3_tiles_sharded, tile_mesh
+    from fusion4landslide_tpu.pipelines.f2s3 import run_f2s3_tile
+
+    dips, filt = _params()
+    n = 80
+    base = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    shift = np.asarray([0.03, -0.02, 0.01], np.float32)
+    tiles = [
+        (i, base + i * 0.001, base + i * 0.001 + shift) for i in range(8)
+    ]
+
+    cfg_sh = Config(
+        {
+            "output_dir": str(tmp_path / "sharded"),
+            "output_folder": "run",
+            "feat_k_max": 16,
+            "feat_patch_points": 16,
+            "feat_chunk": 32,
+            "n_normals": 8,
+            "sv_cap": 64,
+            "member_cap": 64,
+            "max_disp_magnitude": 0,
+            "voxel_size": 0.0,
+        }
+    )
+    run_f2s3_tiles_sharded(
+        cfg_sh, dips, filt, tiles, mesh=tile_mesh(8), rng_seed=0
+    )
+    got = np.loadtxt(
+        tmp_path / "sharded" / "run" / "results" / "f2s3_dvfs_of_tile_3.txt"
+    )
+    assert got.shape[1] == 6
+    # The learned filter has random weights here; whatever survives must
+    # still carry the rigid shift (target = source + shift exactly).
+    if got.shape[0]:
+        np.testing.assert_allclose(
+            got[:, 3:6] - got[:, :3],
+            np.tile(shift, (got.shape[0], 1)),
+            atol=5e-4,
+        )
+
+    cfg_host = Config(
+        {
+            "output_dir": str(tmp_path / "host"),
+            "output_folder": "run",
+            "max_disp_magnitude": 0,
+            "voxel_size": 0.0,
+            "n_normals": 8,
+        }
+    )
+    run_f2s3_tile(cfg_host, dips, filt, tiles[3][1], tiles[3][2], tile_id=3)
+    host = np.loadtxt(
+        tmp_path / "host" / "run" / "results" / "f2s3_dvfs_of_tile_3.txt"
+    )
+    if host.shape[0] and got.shape[0]:
+        np.testing.assert_allclose(
+            np.median(host[:, 3:6] - host[:, :3], axis=0),
+            np.median(got[:, 3:6] - got[:, :3], axis=0),
+            atol=5e-4,
+        )
+
+
+def _fusion_params(rng_key=0):
+    from fusion4landslide_tpu.models.aggregation import ClusterFeatureNet
+
+    dips = PointNetFeature().init(
+        jax.random.PRNGKey(rng_key), np.zeros((2, 16, 3), np.float32)
+    )
+    agg = ClusterFeatureNet().init(
+        jax.random.PRNGKey(rng_key + 1),
+        np.zeros((2, 8, 64), np.float32),
+        np.ones((2, 8), bool),
+    )
+    return dips, agg
+
+FUSION_STATICS = dict(
+    levels=(1,),
+    k_max=16,
+    patch_points=16,
+    chunk=32,
+    k_neighbors=8,
+    sv_cap=64,
+    member_cap=64,
+    agg_max_points=32,
+    small_patch=3,
+    icp_max_iter=8,
+    fine_max_matches=64,
+    with_sparse=True,
+    with_tgt2src=True,
+)
+
+
+@needs_mesh
+def test_sharded_fusion3d_matches_single_device(rng):
     from fusion4landslide_tpu.parallel import (
-        sharded_displacement_step,
+        make_sharded_fusion3d_step,
         tile_mesh,
     )
 
-    model = PointNetFeature()
-    params = model.init(jax.random.PRNGKey(0), np.zeros((2, 16, 3), np.float32))
-    tiles, n_pts = 8, 64
-    src = rng.normal(size=(tiles, n_pts, 3)).astype(np.float32)
-    tgt = src + 0.02
-    ones = np.ones((tiles, n_pts), bool)
+    dips, agg = _fusion_params()
+    tiles, n_pts = 8, 96
+    src = rng.uniform(-1, 1, size=(tiles, n_pts, 3)).astype(np.float32)
+    tgt = src + np.float32(0.02)
+    smask = np.ones((tiles, n_pts), bool)
+    smask[:, -5:] = False
+    tmask = np.ones((tiles, n_pts), bool)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(tiles, dtype=jnp.uint32))
+    scal = lambda v: np.full((tiles,), v, np.float32)
+    args = (src, smask, tgt, tmask, keys, scal(10.0), scal(0.1), scal(0.0))
 
-    disp8, mag8 = sharded_displacement_step(
-        tile_mesh(8), params, k_max=8, patch_points=8, chunk=16
-    )(src, tgt, ones, ones, keys)
-    disp1, mag1 = sharded_displacement_step(
-        tile_mesh(1), params, k_max=8, patch_points=8, chunk=16
-    )(src, tgt, ones, ones, keys)
+    out8 = make_sharded_fusion3d_step(tile_mesh(8), dips, agg, **FUSION_STATICS)(*args)
+    out1 = make_sharded_fusion3d_step(tile_mesh(1), dips, agg, **FUSION_STATICS)(*args)
     np.testing.assert_allclose(
-        np.asarray(disp8), np.asarray(disp1), atol=1e-5
+        np.asarray(out8.moved), np.asarray(out1.moved), atol=2e-5
     )
-    np.testing.assert_allclose(float(mag8), float(mag1), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out8.valid), np.asarray(out1.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.t2s_src_est), np.asarray(out1.t2s_src_est), atol=2e-5
+    )
+
+
+@needs_mesh
+def test_sharded_fusion3d_recovers_rigid_shift(rng, tmp_path):
+    """End-to-end: 8 tiles through run_fusion3d_tiles_sharded on the virtual
+    mesh; assigned source points recover the synthetic rigid shift and the
+    tgt2src table recovers its inverse (exact per-pair semantics)."""
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.parallel import (
+        run_fusion3d_tiles_sharded,
+        tile_mesh,
+    )
+
+    dips, agg = _fusion_params()
+    n = 200
+    base = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    shift = np.asarray([0.02, -0.015, 0.01], np.float32)
+    tiles = [(i, base + i * 0.001, base + i * 0.001 + shift) for i in range(8)]
+
+    cfg = Config(
+        {
+            "output_dir": str(tmp_path),
+            "output_folder": "run",
+            "feat_k_max": 16,
+            "feat_patch_points": 16,
+            "feat_chunk": 32,
+            "sv_cap": 64,
+            "member_cap": 64,
+            "agg_max_points": 32,
+            "num_min_matches_for_small_patch": 3,
+            "level_of_superpoint": [1],
+            "max_magnitude": 10.0,
+            "icp_threshold": 0.1,
+            "output_tgt2src": True,
+        }
+    )
+    res = run_fusion3d_tiles_sharded(
+        cfg, dips, agg, tiles, mesh=tile_mesh(8), rng_seed=0
+    )
+    assert set(res) == set(range(8))
+    got = np.loadtxt(tmp_path / "run" / "results" / "c2f_dvfs_src2tgt_tile_5.txt")
+    assert got.shape[0] > 50  # most points assigned
+    np.testing.assert_allclose(
+        got[:, 3:6] - got[:, :3],
+        np.tile(shift, (got.shape[0], 1)),
+        atol=1e-3,
+    )
+    t2s = np.loadtxt(
+        tmp_path / "run" / "results" / "c2f_dvfms_tgt2src_tile_5.txt"
+    )
+    assert t2s.shape[0] > 50
+    np.testing.assert_allclose(
+        t2s[:, 3], np.linalg.norm(shift), atol=1e-3
+    )
