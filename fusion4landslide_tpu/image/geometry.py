@@ -35,6 +35,8 @@ __all__ = [
     "project_points",
     "rasterize_depth",
     "lift_pixels_to_world",
+    "bilinear_depth",
+    "lift_matches_to_3d",
     "chain_2d_matches_to_3d",
 ]
 
@@ -141,7 +143,79 @@ def lift_pixels_to_world(
     return jnp.einsum("ji,nj->ni", R, cam - t, precision=hp)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("bilinear",))
+def bilinear_depth(
+    depth_map: jax.Array,  # (h, w), -1 where empty
+    uv: jax.Array,  # (n, 2) pixel coordinates [u, v]
+    *,
+    bilinear: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Depth lookup at sub-pixel coordinates (base:320-384).
+
+    ``bilinear=False`` reproduces the reference's executed
+    'single_closest' path (floor-pixel lookup); ``bilinear=True`` is the
+    4-corner interpolation, valid only when all corners carry depth.
+
+    Returns (depth (n,), valid (n,)).
+    """
+    h, w = depth_map.shape
+    u = uv[:, 0]
+    v = uv[:, 1]
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 1)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 1)
+    if not bilinear:
+        d = depth_map[v0, u0]
+        return d, d >= 0
+    u1 = jnp.clip(u0 + 1, 0, w - 1)
+    v1 = jnp.clip(v0 + 1, 0, h - 1)
+    d00 = depth_map[v0, u0]
+    d10 = depth_map[v0, u1]
+    d01 = depth_map[v1, u0]
+    d11 = depth_map[v1, u1]
+    valid = (d00 >= 0) & (d10 >= 0) & (d01 >= 0) & (d11 >= 0)
+    du = u - u0
+    dv = v - v0
+    d = (
+        d00 * (1 - du) * (1 - dv)
+        + d10 * du * (1 - dv)
+        + d01 * (1 - du) * dv
+        + d11 * du * dv
+    )
+    return d, valid
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "v_flip"))
+def lift_matches_to_3d(
+    corres_2d: jax.Array,  # (M, 4) [src_u, src_v, tgt_u, tgt_v]
+    depth_map_src: jax.Array,  # (h, w)
+    depth_map_tgt: jax.Array,  # (h, w)
+    src_extrinsic: jax.Array,
+    tgt_extrinsic: jax.Array,
+    intrinsic: jax.Array,
+    image_size: tuple[int, int],
+    *,
+    v_flip: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Lift pixel matches to 3D world match pairs via interpolated depth
+    (``lift_2d_to_3d_with_interpolation``, base:664-728): depth lookup at
+    each endpoint, K^-1 back-projection, inverse extrinsic.
+
+    Returns (points_3d (M, 6) [src_xyz tgt_xyz], valid (M,)).
+    """
+    d_src, ok_s = bilinear_depth(depth_map_src, corres_2d[:, :2])
+    d_tgt, ok_t = bilinear_depth(depth_map_tgt, corres_2d[:, 2:4])
+    src_3d = lift_pixels_to_world(
+        corres_2d[:, :2], d_src, src_extrinsic, intrinsic, image_size,
+        v_flip=v_flip,
+    )
+    tgt_3d = lift_pixels_to_world(
+        corres_2d[:, 2:4], d_tgt, tgt_extrinsic, intrinsic, image_size,
+        v_flip=v_flip,
+    )
+    return jnp.concatenate([src_3d, tgt_3d], axis=1), ok_s & ok_t
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
 def chain_2d_matches_to_3d(
     corres_2d: jax.Array,  # (M, 4) [src_u, src_v, tgt_u, tgt_v]
     src_proj_uv: jax.Array,  # (Ns, 2) projected source points
@@ -150,16 +224,27 @@ def chain_2d_matches_to_3d(
     corres_mask: jax.Array | None = None,
     src_valid: jax.Array | None = None,
     tgt_valid: jax.Array | None = None,
+    *,
+    mode: str = "nn_src_only",
 ) -> tuple[jax.Array, jax.Array]:
-    """3D point correspondences from 2D pixel matches (base:387-423).
+    """3D point correspondences from 2D pixel matches (base:387-470).
 
-    For each source point: nearest match's src endpoint within
+    Forward chain, per source point: nearest match's src endpoint within
     ``pixel_thres`` → that match's tgt endpoint → nearest projected target
     point within ``pixel_thres``.
 
+    ``mode`` selects the reference's ``matches_from_2d_type`` semantics
+    (base:1599-1620):
+    - 'nn_src_only': forward chain only,
+    - 'nn_mutual': source point n kept iff its forward hop i = tgt_idx[n]
+      is valid in the reverse chain too AND the reverse chain maps i back
+      to n,
+    - 'nn_union': kept iff (forward valid OR reverse valid at i) AND the
+      reverse chain maps i back to n.
+
     Returns:
         tgt_idx: (Ns,) matched target-point index.
-        valid: (Ns,) both pixel hops within threshold.
+        valid: (Ns,) selected by the mode.
     """
     thr2 = jnp.asarray(pixel_thres) ** 2
     d1, m_idx = knn(src_proj_uv, corres_2d[:, :2], 1, corres_mask)
@@ -169,7 +254,33 @@ def chain_2d_matches_to_3d(
     d2, t_idx = knn(tgt_px, tgt_proj_uv, 1, tgt_valid)
     t_idx = t_idx[:, 0]
     hop2 = jnp.isfinite(d2[:, 0]) & (d2[:, 0] < thr2)
-    valid = hop1 & hop2
+    mask_src = hop1 & hop2
     if src_valid is not None:
-        valid = valid & src_valid.astype(bool)
+        mask_src = mask_src & src_valid.astype(bool)
+    if mode == "nn_src_only":
+        return t_idx, mask_src
+
+    # Reverse chain (map_corr_2d_to_3d_tgt2src, base:431-470): per target
+    # point, nearest match tgt endpoint -> nearest projected source point.
+    d1r, m_idx_r = knn(tgt_proj_uv, corres_2d[:, 2:4], 1, corres_mask)
+    hop1r = jnp.isfinite(d1r[:, 0]) & (d1r[:, 0] < thr2)
+    src_px = jnp.take(corres_2d[:, :2], m_idx_r[:, 0], axis=0)
+    d2r, s_idx = knn(src_px, src_proj_uv, 1, src_valid)
+    s_idx = s_idx[:, 0]
+    hop2r = jnp.isfinite(d2r[:, 0]) & (d2r[:, 0] < thr2)
+    mask_tgt = hop1r & hop2r
+    if tgt_valid is not None:
+        mask_tgt = mask_tgt & tgt_valid.astype(bool)
+
+    back = jnp.take(s_idx, t_idx) == jnp.arange(src_proj_uv.shape[0])
+    mask_tgt_at_i = jnp.take(mask_tgt, t_idx)
+    if mode == "nn_mutual":
+        valid = mask_src & mask_tgt_at_i & back
+    elif mode == "nn_union":
+        valid = (mask_src | mask_tgt_at_i) & back
+    else:
+        raise ValueError(
+            f"unknown matches_from_2d_type mode '{mode}' "
+            "(nn_src_only | nn_mutual | nn_union)"
+        )
     return t_idx, valid

@@ -257,15 +257,23 @@ def loftr_match(
     return out[:, :4], out[:, 4]
 
 
-def load_torch_loftr(path: str) -> dict:
-    """Map a torch checkpoint with this architecture's layout onto Flax
-    params. Upstream EfficientLoFTR checkpoints use different module names;
-    extend the key map as layers are aligned."""
+def load_torch_loftr(path: str):
+    """Load a torch LoFTR-family checkpoint. EfficientLoFTR checkpoints in
+    the ``transformers`` layout (the published conversion of the upstream
+    ``eloftr_outdoor.ckpt``) are dispatched to
+    :func:`fusion4landslide_tpu.image.eloftr.load_torch_eloftr`, returning
+    (params, config) for :class:`~.eloftr.EfficientLoFTRFlax`."""
     from fusion4landslide_tpu.models.convert import load_torch_checkpoint
 
     sd = load_torch_checkpoint(path)
+    stripped = {k.removeprefix("matcher."): v for k, v in sd.items()}
+    if any(k.startswith("efficientloftr.backbone") for k in stripped):
+        from fusion4landslide_tpu.image.eloftr import load_torch_eloftr
+
+        return load_torch_eloftr(stripped)
     raise NotImplementedError(
-        f"checkpoint at {path} loaded ({len(sd)} tensors) but no key map is "
-        "defined for its layout yet — supply a converter for your matcher "
-        "export or use matcher='zncc'."
+        f"checkpoint at {path} loaded ({len(sd)} tensors) but its layout is "
+        "not recognised — supported: transformers EfficientLoFTR "
+        "(convert the upstream eloftr_outdoor.ckpt with the transformers "
+        "conversion script, or use AutoModel zju-community/efficientloftr)."
     )

@@ -177,32 +177,86 @@ def match_epoch_images(
     matcher: str = "zncc",
     crop_size: tuple[int, int] | None = None,
     overlap_size: tuple[int, int] | None = None,
+    cross_crops: bool = False,
+    max_flow_px: float | None = None,
+    logger=None,
     **kw,
 ) -> np.ndarray:
     """Match two (possibly large) epoch images.
 
     When ``crop_size`` is given, images are matched over a sliding-window
-    grid of same-position crop pairs (step = crop - overlap, mirroring
-    base:1109-1121) and results are merged in full-image coordinates; the
-    reference's O(crops²) cross-pairing is unnecessary for co-registered
-    epochs where motion is far smaller than a crop.
+    grid of crop pairs (step = crop - overlap, mirroring base:1109-1121)
+    and results are merged in full-image coordinates. By default each img0
+    crop is paired with the same-position img1 crop — sufficient when the
+    pixel motion is smaller than the crop overlap. ``cross_crops=True``
+    reproduces the reference's cross-pairing loop (base:1125-1233) for
+    learned matchers: every img0 crop is additionally matched against the
+    8-neighbour img1 crops, so flows up to a full crop are found.
+    ``max_flow_px`` (e.g. the config's max_magnitude projected to pixels)
+    auto-enables cross pairing and, for the ZNCC matcher, widens the search
+    window to cover it.
+
+    A diagnostic is logged when the measured median flow approaches the
+    matcher's search bound (the silent-zero-matches failure mode).
     """
     fn = get_matcher(matcher)
+    is_zncc = matcher.lower() == "zncc"
+    if is_zncc and max_flow_px is not None:
+        # Widen the correlation search to cover the expected motion.
+        search = int(kw.get("search", 32))
+        if max_flow_px > search:
+            kw["search"] = int(np.ceil(max_flow_px))
+    if max_flow_px is not None and not is_zncc and crop_size is not None:
+        oh, ow = overlap_size or (crop_size[0] // 2, crop_size[1] // 2)
+        if max_flow_px > min(oh, ow) / 2:
+            cross_crops = True
+
+    def _warn_near_bound(merged):
+        if merged.shape[0] == 0 or not is_zncc:
+            return
+        flow = np.abs(merged[:, 2:4] - merged[:, 0:2])
+        med = float(np.median(np.max(flow, axis=1)))
+        bound = float(kw.get("search", 32))
+        if med > 0.8 * bound and logger is not None:
+            logger.warning(
+                "median pixel flow %.1f px is within 20%% of the ZNCC "
+                "search bound %d px — matches beyond the bound are silently "
+                "lost; raise 'search' or set max_flow_px",
+                med, int(bound),
+            )
+
     if crop_size is None:
-        return fn(img0, img1, **kw)
+        out = fn(img0, img1, **kw)
+        _warn_near_bound(out)
+        return out
     ch, cw = crop_size
     oh, ow = overlap_size or (ch // 2, cw // 2)
     sh, sw = max(ch - oh, 1), max(cw - ow, 1)
     h, w = img0.shape[:2]
+    ys = list(range(0, max(h - ch, 0) + 1, sh))
+    xs = list(range(0, max(w - cw, 0) + 1, sw))
     out = []
-    for y0 in range(0, max(h - ch, 0) + 1, sh):
-        for x0 in range(0, max(w - cw, 0) + 1, sw):
+    for y0 in ys:
+        for x0 in xs:
             c0 = img0[y0 : y0 + ch, x0 : x0 + cw]
-            c1 = img1[y0 : y0 + ch, x0 : x0 + cw]
-            m = fn(c0, c1, **kw)
-            if m.size:
-                m = m + np.asarray([x0, y0, x0, y0], np.float32)
-                out.append(m)
+            if cross_crops and not is_zncc:
+                # Reference cross-pairing (base:1125-1233), restricted to
+                # the 8-neighbour crops (full cross is quadratic and adds
+                # nothing within the max-flow bound).
+                pairs = [
+                    (y1, x1)
+                    for y1 in ys
+                    for x1 in xs
+                    if abs(y1 - y0) <= sh and abs(x1 - x0) <= sw
+                ]
+            else:
+                pairs = [(y0, x0)]
+            for y1, x1 in pairs:
+                c1 = img1[y1 : y1 + ch, x1 : x1 + cw]
+                m = fn(c0, c1, **kw)
+                if m.size:
+                    m = m + np.asarray([x0, y0, x1, y1], np.float32)
+                    out.append(m)
     if not out:
         return np.zeros((0, 4), np.float32)
     merged = np.concatenate(out, axis=0)
@@ -210,7 +264,9 @@ def match_epoch_images(
     key = (merged[:, 1].round().astype(np.int64) * (w + 1)
            + merged[:, 0].round().astype(np.int64))
     _, first = np.unique(key, return_index=True)
-    return merged[np.sort(first)]
+    merged = merged[np.sort(first)]
+    _warn_near_bound(merged)
+    return merged
 
 
 def _loftr_matcher(img0, img1, *, params=None, match_threshold=0.2, **_):
@@ -240,12 +296,77 @@ def _loftr_matcher(img0, img1, *, params=None, match_threshold=0.2, **_):
     return uv
 
 
+_ELOFTR_CACHE: dict = {}
+
+
+def _eloftr_matcher(img0, img1, *, params=None, weights=None, **_):
+    """EfficientLoFTR (image.eloftr): the reference's production matcher
+    (base:1065). ``weights`` may point to a converted torch checkpoint
+    (``transformers`` EfficientLoFTR layout — the published conversion of
+    the upstream ``eloftr_outdoor.ckpt``); common locations are probed
+    automatically. Without weights the architecture runs random-initialised
+    (functional but weak) with a warning."""
+    import os.path as osp
+
+    import jax
+
+    from fusion4landslide_tpu.image.eloftr import (
+        EfficientLoFTRFlax,
+        ELoFTRConfig,
+        eloftr_match,
+        load_torch_eloftr,
+    )
+
+    if params is None:
+        if weights is None:
+            for cand in (
+                "weights/efficientloftr",
+                "weights/eloftr.safetensors",
+                "weights/eloftr_outdoor.ckpt",
+            ):
+                if osp.exists(cand):
+                    weights = cand
+                    break
+        key = weights or "__random__"
+        if key not in _ELOFTR_CACHE:
+            if weights is not None:
+                _ELOFTR_CACHE[key] = load_torch_eloftr(weights)
+            else:
+                import warnings
+
+                warnings.warn(
+                    "eloftr matcher running with random-initialised weights; "
+                    "convert an upstream checkpoint "
+                    "(image.eloftr.load_torch_eloftr) for production "
+                    "matching",
+                    stacklevel=2,
+                )
+                cfg = ELoFTRConfig(
+                    stage_num_blocks=(1, 1, 2, 2),
+                    out_features=(32, 32, 64, 128),
+                    hidden_size=128,
+                    num_attention_layers=2,
+                )
+                model = EfficientLoFTRFlax(cfg)
+                dummy = np.zeros((64, 64), np.float32)
+                _ELOFTR_CACHE[key] = (
+                    model.init(jax.random.PRNGKey(0), dummy, dummy),
+                    cfg,
+                )
+        params, cfg = _ELOFTR_CACHE[key]
+    else:
+        params, cfg = params
+    uv, _conf = eloftr_match(
+        params, img0, img1, model=EfficientLoFTRFlax(cfg)
+    )
+    return uv
+
+
 MATCHERS = {
     "zncc": zncc_grid_match,
     "loftr": _loftr_matcher,
-    # Reference config spellings (fusion_brienz.yaml img_matching_type):
-    # 'ELoFTR' maps onto the LoFTR-family port; 'RoMA' is not ported.
-    "eloftr": _loftr_matcher,
+    # Reference config spelling (fusion_brienz.yaml img_matching_type).
+    "eloftr": _eloftr_matcher,
 }
 
 

@@ -32,7 +32,12 @@ from fusion4landslide_tpu.ops.kabsch import transform_points, weighted_kabsch
 from fusion4landslide_tpu.ops.knn import knn
 from fusion4landslide_tpu.ops.normals import pca_normals
 
-__all__ = ["icp_point2plane", "colored_icp", "ransac_registration"]
+__all__ = [
+    "icp_point2plane",
+    "icp_generalized",
+    "colored_icp",
+    "ransac_registration",
+]
 
 
 def _solve_point2plane(src, tgt, normals, w):
@@ -246,4 +251,134 @@ def ransac_registration(
         inliers=final_inl,
         n_inliers=jnp.sum(final_inl),
         best_score=scores[best],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "normals_k"))
+def icp_generalized(
+    src: jax.Array,
+    tgt: jax.Array,
+    max_dist: jax.Array | float,
+    src_mask: jax.Array | None = None,
+    tgt_mask: jax.Array | None = None,
+    *,
+    max_iter: int = 30,
+    rel_tol: float = 1e-6,
+    normals_k: int = 16,
+    epsilon: float = 1e-3,
+) -> ICPResult:
+    """Generalized ICP (plane-to-plane, Segal et al.) of ``src`` onto
+    ``tgt`` — the reference's ``icp_type='generalized_icp'``
+    (utils/o3d_tools.py:40-56, o3d ``registration_generalized_icp``).
+
+    Per-point covariances use the standard surface model
+    ``C = I - (1 - eps) n n^T`` (disk-shaped, thin along the PCA normal);
+    each iteration minimises ``sum d^T (C_q + R C_p R^T)^-1 d`` by one
+    Gauss-Newton step over (omega, t), batched entirely on device.
+    """
+    n = src.shape[0]
+    f32 = src.dtype
+    smask = jnp.ones((n,), bool) if src_mask is None else src_mask.astype(bool)
+    n_valid = jnp.maximum(jnp.sum(smask), 1)
+    hp = jax.lax.Precision.HIGHEST
+
+    def point_cov(nrm):
+        eye = jnp.eye(3, dtype=f32)
+        return eye - (1.0 - epsilon) * jnp.einsum(
+            "ni,nj->nij", nrm, nrm, precision=hp
+        )
+
+    cov_s = point_cov(pca_normals(src, normals_k, src_mask))
+    cov_t = point_cov(pca_normals(tgt, normals_k, tgt_mask))
+    max_d2 = jnp.asarray(max_dist, f32) ** 2
+
+    def correspondences(R, t):
+        moved = transform_points(src, R, t)
+        sqd, idx = knn(moved, tgt, 1, tgt_mask)
+        sqd, idx = sqd[:, 0], idx[:, 0]
+        inlier = smask & jnp.isfinite(sqd) & (sqd <= max_d2)
+        return idx, inlier, sqd
+
+    def metrics(inlier, sqd):
+        cnt = jnp.sum(inlier)
+        fit = cnt / n_valid
+        rmse = jnp.sqrt(
+            jnp.sum(jnp.where(inlier, sqd, 0.0)) / jnp.maximum(cnt, 1)
+        )
+        return fit, rmse, cnt
+
+    def skew(v):
+        return jnp.stack(
+            [
+                jnp.stack([jnp.zeros_like(v[..., 0]), -v[..., 2], v[..., 1]], -1),
+                jnp.stack([v[..., 2], jnp.zeros_like(v[..., 0]), -v[..., 0]], -1),
+                jnp.stack([-v[..., 1], v[..., 0], jnp.zeros_like(v[..., 0])], -1),
+            ],
+            -2,
+        )
+
+    def cond(state):
+        *_, it, done = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        R, t, fit_p, rmse_p, it, _ = state
+        idx, inlier, _ = correspondences(R, t)
+        moved = transform_points(src, R, t)
+        q = jnp.take(tgt, idx, axis=0)
+        # Combined covariance M = (C_q + R C_p R^T)^-1 per pair.
+        RC = jnp.einsum("ij,njk,lk->nil", R, cov_s, R, precision=hp)
+        M = jnp.linalg.inv(
+            jnp.take(cov_t, idx, axis=0) + RC + 1e-6 * jnp.eye(3, dtype=f32)
+        )
+        w = inlier.astype(f32)[:, None, None]
+        M = M * w
+        r = moved - q  # (n, 3)
+        # J = [ -skew(moved) | I ] over x = (omega, t).
+        Jw = -skew(moved)  # (n, 3, 3) d r / d omega
+        # Normal equations blocks.
+        H_ww = jnp.einsum("nij,nik,nkl->jl", Jw, M, Jw, precision=hp)
+        H_wt = jnp.einsum("nij,nik->jk", Jw, M, precision=hp)
+        H_tt = jnp.einsum("nik->ik", M)
+        g_w = jnp.einsum("nij,nik,nk->j", Jw, M, r, precision=hp)
+        g_t = jnp.einsum("nik,nk->i", M, r, precision=hp)
+        H = jnp.block([[H_ww, H_wt], [H_wt.T, H_tt]]) + 1e-6 * jnp.eye(6)
+        g = jnp.concatenate([g_w, g_t])
+        x = -jnp.linalg.solve(H, g)
+        omega, dt = x[:3], x[3:]
+        theta = jnp.linalg.norm(omega) + 1e-12
+        k = omega / theta
+        K = skew(k)
+        dR = (
+            jnp.eye(3, dtype=f32)
+            + jnp.sin(theta) * K
+            + (1.0 - jnp.cos(theta)) * (K @ K)
+        )
+        R_new = dR @ R
+        t_new = dR @ t + dt.astype(f32)
+        ok = jnp.all(jnp.isfinite(R_new)) & jnp.all(jnp.isfinite(t_new))
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        _, inlier2, sqd2 = correspondences(R, t)
+        fit, rmse, _ = metrics(inlier2, sqd2)
+        done = (jnp.abs(fit - fit_p) < rel_tol) & (jnp.abs(rmse - rmse_p) < rel_tol)
+        return R, t, fit, rmse, it + 1, done
+
+    R0 = jnp.eye(3, dtype=f32)
+    t0 = jnp.zeros((3,), f32)
+    idx0, inlier0, sqd0 = correspondences(R0, t0)
+    fit0, rmse0, _ = metrics(inlier0, sqd0)
+    R, t, fit, rmse, _, _ = jax.lax.while_loop(
+        cond, body, (R0, t0, fit0, rmse0, jnp.asarray(0), jnp.asarray(False))
+    )
+    idx, inlier, sqd = correspondences(R, t)
+    fit, rmse, cnt = metrics(inlier, sqd)
+    return ICPResult(
+        R=R,
+        t=t,
+        fitness=fit,
+        inlier_rmse=rmse,
+        n_inliers=cnt.astype(jnp.int32),
+        corr_idx=idx,
+        corr_inlier=inlier,
     )

@@ -390,6 +390,10 @@ def run_fusion_tile(
     tgt_extrinsic: np.ndarray,
     *,
     corres_2d: np.ndarray | None = None,
+    src_images: list | None = None,
+    tgt_images: list | None = None,
+    src_extrinsics: list | None = None,
+    tgt_extrinsics: list | None = None,
     src_halo: np.ndarray | None = None,
     tgt_halo: np.ndarray | None = None,
     tile_id: int | str = 0,
@@ -402,7 +406,12 @@ def run_fusion_tile(
     vote, base:3015-3070) and fine (concatenated point matches,
     base:3258-3296) stages. ``corres_2d`` injects precomputed (M, 4) pixel
     matches (the reference's ``img_matching_result_dir`` path); otherwise
-    the configured ``img_matching_type`` matcher runs on the image pair."""
+    the configured ``img_matching_type`` matcher runs on the image pair.
+
+    Multi-image (reference ``num_sub_img`` > 1, base:1697-1953): pass
+    ``src_images/tgt_images`` + ``src_extrinsics/tgt_extrinsics`` lists
+    (best camera first, e.g. from ``image.cameras.select_best_images``);
+    every src x tgt pair contributes matches, merged by fill-in."""
     image_data = {
         "src_image": src_image,
         "tgt_image": tgt_image,
@@ -410,6 +419,14 @@ def run_fusion_tile(
         "src_extrinsic": np.asarray(src_extrinsic, np.float32),
         "tgt_extrinsic": np.asarray(tgt_extrinsic, np.float32),
         "corres_2d": corres_2d,
+        "src_images": src_images,
+        "tgt_images": tgt_images,
+        "src_extrinsics": [np.asarray(e, np.float32) for e in src_extrinsics]
+        if src_extrinsics
+        else None,
+        "tgt_extrinsics": [np.asarray(e, np.float32) for e in tgt_extrinsics]
+        if tgt_extrinsics
+        else None,
     }
     return _fusion_tile_core(
         cfg,
@@ -574,7 +591,9 @@ def _fusion_tile_core(
     if image_data is not None:
         from fusion4landslide_tpu.image.geometry import (
             chain_2d_matches_to_3d,
+            lift_matches_to_3d,
             project_points,
+            rasterize_depth,
         )
         from fusion4landslide_tpu.image.matching import match_epoch_images
 
@@ -583,52 +602,124 @@ def _fusion_tile_core(
         )
         pixel_thres = float(cfg.get("pixel_thres", 5))
         v_flip = str(cfg.get("dataset", "")).lower() != "rockfall_simulator"
-        uv_s, _, pval_s = project_points(
-            jnp.asarray(src_vox + center.astype(np.float32)),
-            jnp.asarray(image_data["src_extrinsic"]),
-            jnp.asarray(image_data["intrinsic"]),
-            image_size,
-            v_flip=v_flip,
-        )
-        uv_t, _, pval_t = project_points(
-            jnp.asarray(tgt_vox + center.astype(np.float32)),
-            jnp.asarray(image_data["tgt_extrinsic"]),
-            jnp.asarray(image_data["intrinsic"]),
-            image_size,
-            v_flip=v_flip,
-        )
-        corres_2d = image_data.get("corres_2d")
-        if corres_2d is None:
-            corres_2d = match_epoch_images(
-                image_data["src_image"],
-                image_data["tgt_image"],
-                matcher=str(cfg.get("img_matching_type", "zncc")).lower(),
-                crop_size=tuple(cfg["crop_size"]) if cfg.get("crop_size") else None,
-                overlap_size=tuple(cfg["overlap_size"])
-                if cfg.get("overlap_size")
-                else None,
-            )
-        if len(corres_2d):
-            t2d, v2d = chain_2d_matches_to_3d(
-                jnp.asarray(np.asarray(corres_2d, np.float32)),
-                uv_s,
-                uv_t,
-                pixel_thres,
-                src_valid=pval_s,
-                tgt_valid=pval_t,
-            )
-            c2d_idx = np.asarray(t2d)
-            mag2d = np.linalg.norm(
-                tgt_vox[np.clip(c2d_idx, 0, max(t_nv - 1, 0))] - src_vox, axis=1
-            )
-            c2d_valid = np.asarray(v2d) & (mag2d <= max_mag)
+        lifting = str(cfg.get("lifting_type", "nn_search"))
+        mode = str(cfg.get("matches_from_2d_type", "nn_src_only"))
+        if mode == "nn_src_with_tgt_for_visualize":
+            mode = "nn_src_only"
+
+        # Multi-image (num_sub_img > 1, base:1697-1953): every src x tgt
+        # image-pair contributes a correspondence channel; channels merge by
+        # fill-in (first pair is primary, later pairs fill unmatched slots).
+        src_images = image_data.get("src_images") or [image_data["src_image"]]
+        tgt_images = image_data.get("tgt_images") or [image_data["tgt_image"]]
+        src_exts = image_data.get("src_extrinsics") or [
+            image_data["src_extrinsic"]
+        ]
+        tgt_exts = image_data.get("tgt_extrinsics") or [
+            image_data["tgt_extrinsic"]
+        ]
+        corres_pre = image_data.get("corres_2d")
+        single_pair = len(src_images) == 1 and len(tgt_images) == 1
+        K_j = jnp.asarray(image_data["intrinsic"])
+
+        pair_channels = []
+        n_px_total = 0
+        for a, (simg, sext) in enumerate(zip(src_images, src_exts)):
+            for b, (timg, text) in enumerate(zip(tgt_images, tgt_exts)):
+                uv_s, dep_s, pval_s = project_points(
+                    jnp.asarray(src_vox + center.astype(np.float32)),
+                    jnp.asarray(sext), K_j, image_size, v_flip=v_flip,
+                )
+                uv_t, dep_t, pval_t = project_points(
+                    jnp.asarray(tgt_vox + center.astype(np.float32)),
+                    jnp.asarray(text), K_j, image_size, v_flip=v_flip,
+                )
+                if corres_pre is not None and single_pair:
+                    corres_2d = corres_pre
+                else:
+                    corres_2d = match_epoch_images(
+                        simg,
+                        timg,
+                        matcher=str(
+                            cfg.get("img_matching_type", "zncc")
+                        ).lower(),
+                        crop_size=tuple(cfg["crop_size"])
+                        if cfg.get("crop_size")
+                        else None,
+                        overlap_size=tuple(cfg["overlap_size"])
+                        if cfg.get("overlap_size")
+                        else None,
+                        cross_crops=bool(
+                            cfg.get("img_matching_cross_crops", False)
+                        ),
+                        max_flow_px=cfg.get("max_flow_px"),
+                        logger=logger,
+                    )
+                n_px_total += len(corres_2d)
+                if not len(corres_2d):
+                    continue
+                c2 = jnp.asarray(np.asarray(corres_2d, np.float32))
+                if lifting == "interpolation":
+                    # base:664-728: depth-map lookup + K^-1 + inverse
+                    # extrinsic per endpoint; lifted positions associate to
+                    # the nearest voxel in 3D.
+                    dmap_s, _ = rasterize_depth(uv_s, dep_s, pval_s, image_size)
+                    dmap_t, _ = rasterize_depth(uv_t, dep_t, pval_t, image_size)
+                    p3d, ok3 = lift_matches_to_3d(
+                        c2, dmap_s, dmap_t, jnp.asarray(sext),
+                        jnp.asarray(text), K_j, image_size, v_flip=v_flip,
+                    )
+                    ds2, i_s = nn1(
+                        p3d[:, 0:3] - jnp.asarray(center, jnp.float32),
+                        jnp.asarray(src_vox),
+                    )
+                    dt2, i_t = nn1(
+                        p3d[:, 3:6] - jnp.asarray(center, jnp.float32),
+                        jnp.asarray(tgt_vox),
+                    )
+                    thr3 = 2.0 * max(median_res, 1e-6)
+                    ok = (
+                        np.asarray(ok3)
+                        & (np.sqrt(np.asarray(ds2)) < thr3)
+                        & (np.sqrt(np.asarray(dt2)) < thr3)
+                    )
+                    t2d = np.zeros(s_nv, np.int64)
+                    v2dm = np.zeros(s_nv, bool)
+                    src_i = np.asarray(i_s)[ok]
+                    t2d[src_i] = np.asarray(i_t)[ok]
+                    v2dm[src_i] = True
+                else:
+                    t2d, v2dm = chain_2d_matches_to_3d(
+                        c2, uv_s, uv_t, pixel_thres,
+                        src_valid=pval_s, tgt_valid=pval_t, mode=mode,
+                    )
+                    t2d = np.asarray(t2d)
+                    v2dm = np.asarray(v2dm)
+                # Per-pair max-magnitude gate (base:1640-1646).
+                mag2d = np.linalg.norm(
+                    tgt_vox[np.clip(t2d, 0, max(t_nv - 1, 0))] - src_vox,
+                    axis=1,
+                )
+                pair_channels.append((t2d, v2dm & (mag2d <= max_mag)))
+
+        if pair_channels:
+            # Fill-in merge over image pairs (base:1940-1953).
+            c2d_idx, c2d_valid = pair_channels[0]
+            c2d_idx = c2d_idx.copy()
+            c2d_valid = c2d_valid.copy()
+            for t2d, v2dm in pair_channels[1:]:
+                fill = ~c2d_valid & v2dm
+                c2d_idx[fill] = t2d[fill]
+                c2d_valid |= fill
         else:
-            c2d_idx = np.zeros(s_nv, np.int32)
+            c2d_idx = np.zeros(s_nv, np.int64)
             c2d_valid = np.zeros(s_nv, bool)
         if logger:
             logger.info(
-                "tile %s: %d 2D pixel matches -> %d lifted 3D voxel matches",
-                tile_id, len(corres_2d), int(c2d_valid.sum()),
+                "tile %s: %d 2D pixel matches over %d image pair(s) -> %d "
+                "lifted 3D voxel matches",
+                tile_id, n_px_total, max(len(pair_channels), 1),
+                int(c2d_valid.sum()),
             )
         # Interim artifact: 2D-only dvfms pre-pruning (base:1531-1557).
         if c2d_valid.any():
@@ -1023,4 +1114,5 @@ def _fusion_tile_core(
         "R": merged_R,
         "t": merged_t,
         "valid": merged_valid,
+        "n_2d_matches": int(c2d_valid.sum()) if c2d_valid is not None else 0,
     }

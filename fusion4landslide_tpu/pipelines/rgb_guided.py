@@ -139,6 +139,7 @@ def run_rgb_guided_tile(
     src_extrinsic: np.ndarray,
     tgt_extrinsic: np.ndarray,
     *,
+    tgt_intrinsic: np.ndarray | None = None,
     tile_id: int | str = 0,
     logger=None,
     corres_2d: np.ndarray | None = None,
@@ -147,9 +148,12 @@ def run_rgb_guided_tile(
 
     ``cfg`` keys (reference rgb_guided_brienz.yaml schema): image_size,
     crop_size, overlap_size, pixel_thres, max_magnitude, icp_threshold,
-    n_normals, img_matching_type, output_dir/output_folder, dataset.
+    n_normals, img_matching_type, clustering_type (supervoxel | hdbscan,
+    rgb_guided.py:868-931), output_dir/output_folder, dataset.
     ``corres_2d`` may inject precomputed (M, 4) matches (the reference's
-    offline img_matching_result_dir path).
+    offline img_matching_result_dir path). ``tgt_intrinsic`` supports
+    separate per-epoch cameras (reference rgb_guided.py:1928-1935 loads
+    camera_intrinsic_{src,tgt}.txt when present).
 
     Projection note: the tile is projected with the *original* coordinates
     (cameras are georeferenced); the 3D solve runs mean-centred.
@@ -173,7 +177,10 @@ def run_rgb_guided_tile(
     )
     uv_t, _, val_t = project_points(
         tgt_core.astype(np.float32), tgt_extrinsic.astype(np.float32),
-        intrinsic.astype(np.float32), image_size, v_flip=v_flip,
+        (intrinsic if tgt_intrinsic is None else tgt_intrinsic).astype(
+            np.float32
+        ),
+        image_size, v_flip=v_flip,
     )
     if logger:
         logger.info(
@@ -190,6 +197,9 @@ def run_rgb_guided_tile(
             matcher=str(cfg.get("img_matching_type", "zncc")).lower(),
             crop_size=tuple(cfg["crop_size"]) if cfg.get("crop_size") else None,
             overlap_size=tuple(cfg["overlap_size"]) if cfg.get("overlap_size") else None,
+            cross_crops=bool(cfg.get("img_matching_cross_crops", False)),
+            max_flow_px=cfg.get("max_flow_px"),
+            logger=logger,
         )
     if logger:
         logger.info("tile %s: %d 2D matches", tile_id, len(corres_2d))
@@ -236,18 +246,30 @@ def run_rgb_guided_tile(
         wo,
     )
 
-    # --- 4. Supervoxel segmentation; keep svls with > 10 matches
-    # (rgb_guided.py:868-950).
+    # --- 4. Segmentation (supervoxel or hdbscan, rgb_guided.py:868-931);
+    # keep segments with > 10 matches (rgb_guided.py:950).
     median_res = float(median_nn_distance(jnp.asarray(s)))
-    svl_radius = max(
-        float(np.sqrt(3) * 10.0 * median_res),
-        float(cfg.get("voxel_size", 0.0) or 0.0),
-    )
-    seg = supervoxel_segmentation(
-        jnp.asarray(s), svl_radius, k_neighbors=int(cfg.get("n_normals", 30))
-    )
-    labels = np.asarray(seg.labels)
-    n_lab = int(seg.n_supervoxels)
+    clustering = str(cfg.get("clustering_type", "supervoxel")).lower()
+    if clustering == "hdbscan":
+        from fusion4landslide_tpu.ops.clustering import hdbscan_labels
+
+        labels = hdbscan_labels(
+            s,
+            min_cluster_size=int(cfg.get("hdbscan_min_cluster_size", 10)),
+            min_samples=int(cfg.get("hdbscan_min_samples", 1000)),
+        )
+        n_lab = int(labels.max()) + 1 if labels.max() >= 0 else 0
+    else:
+        svl_radius = max(
+            float(np.sqrt(3) * 10.0 * median_res),
+            float(cfg.get("voxel_size", 0.0) or 0.0),
+        )
+        seg = supervoxel_segmentation(
+            jnp.asarray(s), svl_radius,
+            k_neighbors=int(cfg.get("n_normals", 30)),
+        )
+        labels = np.asarray(seg.labels)
+        n_lab = int(seg.n_supervoxels)
     match_counts = np.bincount(
         labels[(labels >= 0) & matched], minlength=max(n_lab, 1)
     )

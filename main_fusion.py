@@ -82,6 +82,7 @@ def main() -> None:
     # RGB+3D fusion: image pair + cameras (+ optional precomputed 2D pixel
     # matches from img_matching_result_dir, reference base:297-317).
     image_kit = None
+    image_candidates = None  # (src_entries, tgt_entries) for per-tile selection
     if cfg.get("use_2d_matches", False):
         import glob
 
@@ -89,42 +90,63 @@ def main() -> None:
 
         from fusion4landslide_tpu.image.cameras import (
             load_extrinsics,
+            load_images_used,
             load_intrinsic,
         )
-        from main_rgb_guided import load_image
+        from fusion4landslide_tpu.io.images import load_image
 
         input_root = cfg.get("input_root") or cfg.get("data_dir")
         intrinsic = load_intrinsic(input_root)
-        src_ext, tgt_ext = load_extrinsics(
-            input_root,
-            cfg.get("dataset"),
-            coord_type=cfg.get("coord_type", "PRCS"),
-            src_pose=cfg.get("src_pose"),
-            tgt_pose=cfg.get("tgt_pose"),
+        images_used = osp.join(
+            input_root, "image", "transformations", "Images_used.txt"
         )
-        src_img = load_image(
-            osp.join(input_root, "image", "raw_images", cfg.get("src_image"))
-        )
-        tgt_img = load_image(
-            osp.join(input_root, "image", "raw_images", cfg.get("tgt_image"))
-        )
-        corres_2d = None
-        mdir = cfg.get("img_matching_result_dir")
-        if mdir and not osp.isabs(mdir):
-            mdir = osp.join(input_root, mdir)
-        if mdir and osp.isdir(mdir):
-            parts = [
-                np.loadtxt(f, ndmin=2)
-                for f in sorted(glob.glob(osp.join(mdir, "*.txt")))
+        if osp.exists(images_used):
+            # Per-tile camera selection over the candidate pool
+            # (reference _find_the_most_matched_image, base:760-858).
+            entries = load_images_used(input_root)
+            src_id = str(cfg.get("src_pcd", "")).split("_")[0]
+            tgt_id = str(cfg.get("tgt_pcd", "")).split("_")[0]
+            src_entries = [e for e in entries if src_id and src_id in e[0]]
+            tgt_entries = [
+                e for e in entries if tgt_id and tgt_id in e[0]
             ]
-            parts = [p for p in parts if p.size]
-            if parts:
-                corres_2d = np.vstack(parts)[:, :4]
+            if src_entries and tgt_entries:
+                image_candidates = (src_entries, tgt_entries, intrinsic)
                 logger.info(
-                    "Loaded %d precomputed 2D matches from %s",
-                    len(corres_2d), mdir,
+                    "Camera selection: %d src / %d tgt candidate images",
+                    len(src_entries), len(tgt_entries),
                 )
-        image_kit = (src_img, tgt_img, intrinsic, src_ext, tgt_ext, corres_2d)
+        if image_candidates is None:
+            src_ext, tgt_ext = load_extrinsics(
+                input_root,
+                cfg.get("dataset"),
+                coord_type=cfg.get("coord_type", "PRCS"),
+                src_pose=cfg.get("src_pose"),
+                tgt_pose=cfg.get("tgt_pose"),
+            )
+            src_img = load_image(
+                osp.join(input_root, "image", "raw_images", cfg.get("src_image"))
+            )
+            tgt_img = load_image(
+                osp.join(input_root, "image", "raw_images", cfg.get("tgt_image"))
+            )
+            corres_2d = None
+            mdir = cfg.get("img_matching_result_dir")
+            if mdir and not osp.isabs(mdir):
+                mdir = osp.join(input_root, mdir)
+            if mdir and osp.isdir(mdir):
+                parts = [
+                    np.loadtxt(f, ndmin=2)
+                    for f in sorted(glob.glob(osp.join(mdir, "*.txt")))
+                ]
+                parts = [p for p in parts if p.size]
+                if parts:
+                    corres_2d = np.vstack(parts)[:, :4]
+                    logger.info(
+                        "Loaded %d precomputed 2D matches from %s",
+                        len(corres_2d), mdir,
+                    )
+            image_kit = (src_img, tgt_img, intrinsic, src_ext, tgt_ext, corres_2d)
 
     import jax
 
@@ -150,11 +172,71 @@ def main() -> None:
         )
         tiles = []
 
+    _img_cache: dict = {}
+
+    def _load_cached(path):
+        from fusion4landslide_tpu.io.images import load_image
+
+        if path not in _img_cache:
+            _img_cache[path] = load_image(path)
+        return _img_cache[path]
+
     for tile_id, src_path, tgt_path in tiles:
         logger.info("Processing tile %s", tile_id)
         src = read_ply(src_path)
         tgt = read_ply(tgt_path)
-        if image_kit is not None:
+        if image_candidates is not None:
+            # Per-tile best-image selection (base:760-858) + optional
+            # num_sub_img > 1 multi-image channels.
+            from fusion4landslide_tpu.image.cameras import select_best_images
+
+            src_entries, tgt_entries, intrinsic = image_candidates
+            num_sub = int(cfg.get("num_sub_img", 1) or 1)
+            image_size = tuple(cfg.get("image_size"))
+            v_flip = str(cfg.get("dataset", "")).lower() != "rockfall_simulator"
+            best_s = select_best_images(
+                src.points, src_entries, intrinsic, image_size,
+                num=num_sub, v_flip=v_flip,
+            )
+            best_t = select_best_images(
+                tgt.points, tgt_entries, intrinsic, image_size,
+                num=num_sub, v_flip=v_flip,
+            )
+            logger.info(
+                "tile %s: selected src image(s) %s / tgt %s",
+                tile_id, [n for n, _ in best_s], [n for n, _ in best_t],
+            )
+            simgs = [
+                _load_cached(
+                    osp.join(input_root, "image", "raw_images", "src_images", n)
+                )
+                for n, _ in best_s
+            ]
+            timgs = [
+                _load_cached(
+                    osp.join(input_root, "image", "raw_images", "tgt_images", n)
+                )
+                for n, _ in best_t
+            ]
+            run_fusion_tile(
+                cfg,
+                dips_params,
+                agg_params,
+                src.points,
+                tgt.points,
+                simgs[0],
+                timgs[0],
+                intrinsic,
+                best_s[0][1],
+                best_t[0][1],
+                src_images=simgs,
+                tgt_images=timgs,
+                src_extrinsics=[e for _, e in best_s],
+                tgt_extrinsics=[e for _, e in best_t],
+                tile_id=tile_id,
+                logger=logger,
+            )
+        elif image_kit is not None:
             src_img, tgt_img, intrinsic, src_ext, tgt_ext, corres_2d = image_kit
             run_fusion_tile(
                 cfg,

@@ -27,10 +27,7 @@ from fusion4landslide_tpu.pipelines.driver import (
 from fusion4landslide_tpu.pipelines.rgb_guided import run_rgb_guided_tile
 
 
-def load_image(path: str) -> np.ndarray:
-    from PIL import Image
-
-    return np.asarray(Image.open(path).convert("RGB"))
+from fusion4landslide_tpu.io.images import load_image  # noqa: E402
 
 
 def main() -> None:
@@ -54,7 +51,9 @@ def main() -> None:
     logger.info("Num. of tile(s): %d", len(tiles))
 
     input_root = cfg.get("input_root") or cfg.get("data_dir")
-    intrinsic = load_intrinsic(input_root)
+    from fusion4landslide_tpu.image.cameras import load_intrinsic_pair
+
+    intrinsic, tgt_intrinsic = load_intrinsic_pair(input_root)
     src_ext, tgt_ext = load_extrinsics(
         input_root,
         cfg.get("dataset"),
@@ -82,6 +81,7 @@ def main() -> None:
             intrinsic,
             src_ext,
             tgt_ext,
+            tgt_intrinsic=tgt_intrinsic,
             tile_id=tile_id,
             logger=logger,
         )

@@ -1,0 +1,92 @@
+"""Cross-crop pairing + search-bound handling in match_epoch_images
+(reference cross-pairing loop base:1125-1233; the round-1 silent failure
+mode: flows beyond the ZNCC search window or crop overlap produced zero
+matches with no diagnostic)."""
+
+import logging
+
+import numpy as np
+
+from fusion4landslide_tpu.image import matching as M
+
+
+def _textured(rng, h, w):
+    img = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    # Smooth a little so ZNCC has gradients, keep texture.
+    img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3
+    return img
+
+
+def test_zncc_search_widens_with_max_flow(rng):
+    img0 = _textured(rng, 160, 160)
+    shift = 48  # beyond the default 32 px search window
+    img1 = np.roll(img0, shift, axis=1)
+    near_default = M.match_epoch_images(
+        img0, img1, matcher="zncc", search=16, min_score=0.8
+    )
+    # With a too-small search bound the true flow is unreachable: no match
+    # reports the actual 48 px displacement.
+    if near_default.size:
+        assert np.abs(near_default[:, 2] - near_default[:, 0]).max() < shift
+    widened = M.match_epoch_images(
+        img0, img1, matcher="zncc", search=16, min_score=0.8,
+        max_flow_px=shift + 4,
+    )
+    assert widened.shape[0] > 10
+    flow = widened[:, 2] - widened[:, 0]
+    assert abs(np.median(flow) - shift) < 0.5
+
+
+def test_zncc_near_bound_warning(rng, caplog):
+    img0 = _textured(rng, 128, 128)
+    img1 = np.roll(img0, 14, axis=1)  # median flow ~14 vs bound 16
+    logger = logging.getLogger("test_zncc_bound")
+    with caplog.at_level(logging.WARNING, logger="test_zncc_bound"):
+        M.match_epoch_images(
+            img0, img1, matcher="zncc", search=16, min_score=0.5,
+            logger=logger,
+        )
+    assert any("search bound" in r.message for r in caplog.records)
+
+
+def test_cross_crop_pairing_finds_large_motion(rng, monkeypatch):
+    """A flow larger than the crop overlap yields zero matches with
+    same-position pairing and is recovered by cross_crops pairing."""
+    h = w = 96
+    crop = (48, 48)
+    overlap = (16, 16)
+    shift = 32  # = crop step; content moves one full crop to the right
+    img0 = _textured(rng, h, w)
+    img1 = np.roll(img0, shift, axis=1)
+
+    calls = []
+
+    def fake_matcher(c0, c1, **kw):
+        calls.append((c0.shape, c1.shape))
+        # "Learned" matcher stub: match iff the crops show the same content
+        # (used to isolate the crop-pairing geometry from matcher quality).
+        if c0.shape == c1.shape and np.allclose(c0, c1):
+            return np.asarray([[8.0, 8.0, 8.0, 8.0]], np.float32)
+        return np.zeros((0, 4), np.float32)
+
+    monkeypatch.setitem(M.MATCHERS, "fake", fake_matcher)
+
+    same_pos = M.match_epoch_images(
+        img0, img1, matcher="fake", crop_size=crop, overlap_size=overlap
+    )
+    assert same_pos.shape[0] == 0  # round-1 failure mode
+
+    crossed = M.match_epoch_images(
+        img0, img1, matcher="fake", crop_size=crop, overlap_size=overlap,
+        cross_crops=True,
+    )
+    assert crossed.shape[0] > 0
+    flow = crossed[:, 2] - crossed[:, 0]
+    assert np.all(flow == shift)
+
+    # max_flow_px beyond half the overlap auto-enables cross pairing.
+    auto = M.match_epoch_images(
+        img0, img1, matcher="fake", crop_size=crop, overlap_size=overlap,
+        max_flow_px=float(shift),
+    )
+    assert auto.shape[0] > 0

@@ -64,3 +64,29 @@ def test_median_displacement_error():
     b = np.hstack([src, src + np.array([1.0, 0.002, 0], np.float32)])
     err = float(median_displacement_error(a, b))
     assert abs(err - 0.002) < 1e-6
+
+
+def test_icp_generalized_recovers_transform(rng):
+    from fusion4landslide_tpu.ops.registration import icp_generalized
+
+    n = 400
+    xy = rng.uniform(0, 8, size=(n, 2))
+    z = np.sin(xy[:, 0]) * 0.8 + np.cos(xy[:, 1] * 1.3) * 0.5
+    src = np.column_stack([xy, z]).astype(np.float32)
+    ang = 0.03
+    R_true = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    t_true = np.array([0.05, -0.04, 0.02], np.float32)
+    tgt = src @ R_true.T + t_true
+    import jax.numpy as jnp
+
+    res = icp_generalized(jnp.asarray(src), jnp.asarray(tgt), 0.5)
+    np.testing.assert_allclose(np.asarray(res.R), R_true, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.t), t_true, atol=2e-3)
+    assert float(res.fitness) > 0.95
