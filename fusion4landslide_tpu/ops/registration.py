@@ -8,10 +8,10 @@ Capability parity with the reference's Open3D toolbox
   (o3d_tools.py:12-71): each iteration solves the linearised 6-DoF normal
   equation for residual (R p + t - q)·n_q,
 - ``colored_icp`` ↔ the multiscale colored-ICP wrapper (o3d_tools.py:74-128):
-  coarse-to-fine voxel scales, each refined with a geometric+photometric
-  objective (implemented here as point-to-plane with a colour-consistency
-  weight — the photometric gradient term of Park et al. needs per-point
-  colour gradients, approximated by down-weighting colour-mismatched pairs),
+  coarse-to-fine voxel scales, each refined with the joint geometric +
+  photometric Gauss-Newton of Park et al. 2017 — per-point tangent-plane
+  colour gradients (``color_gradients``) linearise the target colour field,
+  exactly the objective behind o3d ``registration_colored_icp``,
 - ``ransac_registration`` ↔ ``ransac_registration`` (o3d_tools.py:148-177):
   correspondence-based RANSAC — re-designed for TPU as a *batched hypothesis
   tournament*: K minimal 3-point samples are fitted and scored fully in
@@ -36,6 +36,7 @@ __all__ = [
     "icp_point2plane",
     "icp_generalized",
     "colored_icp",
+    "color_gradients",
     "ransac_registration",
 ]
 
@@ -140,6 +141,156 @@ def icp_point2plane(
     return ICPResult(R, t, fit, rmse, cnt.astype(jnp.int32), idx, inlier)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def color_gradients(
+    points: jax.Array,
+    gray: jax.Array,
+    normals: jax.Array,
+    mask: jax.Array | None = None,
+    *,
+    k: int = 16,
+) -> jax.Array:
+    """(n, 3) per-point in-tangent-plane intensity gradients d such that
+    C(u) ≈ c_q + d·(u - q) for u near q on q's tangent plane — the
+    precomputation of Park et al. 2017 colored ICP (o3d
+    ``registration_colored_icp``'s internal color-gradient estimation)."""
+    hp = jax.lax.Precision.HIGHEST
+    sqd, idx = knn(points, points, k, mask, exclude_self=True)
+    valid = jnp.isfinite(sqd)
+    nb = jnp.take(points, idx, axis=0)  # (n, k, 3)
+    cb = jnp.take(gray, idx)  # (n, k)
+    # Project neighbours onto the tangent plane.
+    diff = nb - points[:, None, :]
+    along = jnp.einsum("nki,ni->nk", diff, normals, precision=hp)
+    proj = diff - along[..., None] * normals[:, None, :]
+    w = valid.astype(points.dtype)
+    dc = (cb - gray[:, None]) * w
+    # Normal equations A d = b with the n n^T constraint row (d·n = 0).
+    A = jnp.einsum("nki,nkj->nij", proj * w[..., None], proj, precision=hp)
+    A = A + jnp.einsum("ni,nj->nij", normals, normals, precision=hp)
+    A = A + 1e-6 * jnp.eye(3, dtype=points.dtype)
+    b = jnp.einsum("nki,nk->ni", proj, dc, precision=hp)
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "normals_k", "gradient_k")
+)
+def _colored_icp_scale(
+    src,
+    tgt,
+    gray_s,
+    gray_t,
+    max_dist,
+    src_mask,
+    tgt_mask,
+    R0,
+    t0,
+    *,
+    max_iter: int = 30,
+    rel_tol: float = 1e-6,
+    lambda_geometric: float = 0.968,
+    normals_k: int = 16,
+    gradient_k: int = 16,
+):
+    """One scale of colored ICP: joint geometric (point-to-plane) +
+    photometric (tangent-plane colour) Gauss-Newton (Park et al. 2017, the
+    objective behind o3d ``registration_colored_icp``)."""
+    n = src.shape[0]
+    f32 = src.dtype
+    hp = jax.lax.Precision.HIGHEST
+    smask = jnp.ones((n,), bool) if src_mask is None else src_mask.astype(bool)
+    n_valid = jnp.maximum(jnp.sum(smask), 1)
+    normals = pca_normals(tgt, normals_k, tgt_mask)
+    grad = color_gradients(tgt, gray_t, normals, tgt_mask, k=gradient_k)
+    max_d2 = jnp.asarray(max_dist, f32) ** 2
+    sg = jnp.sqrt(jnp.asarray(lambda_geometric, f32))
+    sc = jnp.sqrt(jnp.asarray(1.0 - lambda_geometric, f32))
+
+    def correspondences(R, t):
+        moved = transform_points(src, R, t)
+        sqd, idx = knn(moved, tgt, 1, tgt_mask)
+        sqd, idx = sqd[:, 0], idx[:, 0]
+        inlier = smask & jnp.isfinite(sqd) & (sqd <= max_d2)
+        return idx, inlier, sqd
+
+    def metrics(inlier, sqd):
+        cnt = jnp.sum(inlier)
+        fit = cnt / n_valid
+        rmse = jnp.sqrt(
+            jnp.sum(jnp.where(inlier, sqd, 0.0)) / jnp.maximum(cnt, 1)
+        )
+        return fit, rmse, cnt
+
+    def cond(state):
+        *_, it, done = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        R, t, fit_p, rmse_p, it, _ = state
+        idx, inlier, _ = correspondences(R, t)
+        moved = transform_points(src, R, t)
+        q = jnp.take(tgt, idx, axis=0)
+        nq = jnp.take(normals, idx, axis=0)
+        dq = jnp.take(grad, idx, axis=0)
+        cq = jnp.take(gray_t, idx)
+        w = inlier.astype(f32)
+
+        # Geometric rows: r_g = (p' - q)·n, J = [p' x n | n].
+        r_g = jnp.einsum("ni,ni->n", moved - q, nq, precision=hp) * sg
+        Jg = jnp.concatenate([jnp.cross(moved, nq), nq], axis=1) * sg
+
+        # Photometric rows: project p' onto q's tangent plane, linearised
+        # colour there vs the source colour; dC/dp' = d_q (in-plane).
+        along = jnp.einsum("ni,ni->n", moved - q, nq, precision=hp)
+        u = moved - along[:, None] * nq
+        c_at_u = cq + jnp.einsum("ni,ni->n", dq, u - q, precision=hp)
+        r_c = (c_at_u - gray_s) * sc
+        m = dq - jnp.einsum("ni,ni->n", dq, nq, precision=hp)[:, None] * nq
+        Jc = jnp.concatenate([jnp.cross(moved, m), m], axis=1) * sc
+
+        J = jnp.concatenate([Jg, Jc], axis=0)
+        r = jnp.concatenate([r_g, r_c])
+        ww = jnp.concatenate([w, w])
+        Jw = J * ww[:, None]
+        A = jnp.einsum("ni,nj->ij", Jw, J, precision=hp) + 1e-6 * jnp.eye(6)
+        b = -jnp.einsum("ni,n->i", Jw, r, precision=hp)
+        x = jnp.linalg.solve(A, b)
+        rx, tx = x[:3], x[3:]
+        theta = jnp.linalg.norm(rx) + 1e-12
+        kvec = rx / theta
+        K = jnp.array(
+            [
+                [0.0, -kvec[2], kvec[1]],
+                [kvec[2], 0.0, -kvec[0]],
+                [-kvec[1], kvec[0], 0.0],
+            ]
+        )
+        dR = (
+            jnp.eye(3) + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
+        ).astype(f32)
+        R_new = dR @ R
+        t_new = dR @ t + tx.astype(f32)
+        ok = jnp.all(jnp.isfinite(R_new)) & jnp.all(jnp.isfinite(t_new))
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        _, inlier2, sqd2 = correspondences(R, t)
+        fit, rmse, _ = metrics(inlier2, sqd2)
+        done = (jnp.abs(fit - fit_p) < rel_tol) & (
+            jnp.abs(rmse - rmse_p) < rel_tol
+        )
+        return R, t, fit, rmse, it + 1, done
+
+    idx0, inlier0, sqd0 = correspondences(R0, t0)
+    fit0, rmse0, _ = metrics(inlier0, sqd0)
+    R, t, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (R0, t0, fit0, rmse0, jnp.asarray(0), jnp.asarray(False))
+    )
+    idx, inlier, sqd = correspondences(R, t)
+    fit, rmse, cnt = metrics(inlier, sqd)
+    return ICPResult(R, t, fit, rmse, cnt.astype(jnp.int32), idx, inlier)
+
+
 def colored_icp(
     src: jax.Array,
     tgt: jax.Array,
@@ -148,54 +299,46 @@ def colored_icp(
     *,
     voxel_scales: tuple[float, ...] = (0.04, 0.02, 0.01),
     max_iters: tuple[int, ...] = (50, 30, 14),
-    color_sigma: float = 0.2,
+    lambda_geometric: float = 0.968,
 ) -> ICPResult:
-    """Multiscale colour-assisted registration (o3d_tools.py:74-128).
-
-    Coarse-to-fine over voxel scales; at each scale a point-to-plane solve
-    with pairs down-weighted by colour disagreement
-    exp(-|c_src - c_tgt|² / sigma²).
-    """
+    """Multiscale colored ICP (o3d_tools.py:74-128): coarse-to-fine over
+    voxel scales, each refined with the joint geometric + photometric
+    objective of Park et al. 2017 — the photometric residual compares the
+    source intensity against the target's tangent-plane colour field
+    (per-point colour gradients), exactly as o3d's
+    ``registration_colored_icp`` does."""
     from fusion4landslide_tpu.ops.voxel import voxel_downsample
 
     R = jnp.eye(3, dtype=src.dtype)
     t = jnp.zeros((3,), src.dtype)
     gray_s = jnp.mean(src_colors.astype(jnp.float32), axis=-1)
     gray_t = jnp.mean(tgt_colors.astype(jnp.float32), axis=-1)
+    if gray_s.max() > 1.5:  # 0..255 -> 0..1 (o3d colours are unit-scaled)
+        gray_s = gray_s / 255.0
+        gray_t = gray_t / 255.0
     result = None
+    n = src.shape[0]
+    m = tgt.shape[0]
     for scale, iters in zip(voxel_scales, max_iters):
-        s_cent, s_p2v, s_cnt, s_nv = voxel_downsample(src, scale)
-        t_cent, t_p2v, t_cnt, t_nv = voxel_downsample(tgt, scale)
-        n = src.shape[0]
+        s_cent, s_p2v, _, s_nv = voxel_downsample(src, scale)
+        t_cent, t_p2v, _, t_nv = voxel_downsample(tgt, scale)
         gs = jax.ops.segment_sum(gray_s, s_p2v, num_segments=n) / jnp.maximum(
-            jax.ops.segment_sum(jnp.ones_like(gray_s), s_p2v, num_segments=n), 1
+            jax.ops.segment_sum(jnp.ones_like(gray_s), s_p2v, num_segments=n),
+            1,
         )
-        gt = jax.ops.segment_sum(gray_t, t_p2v, num_segments=tgt.shape[0]) / jnp.maximum(
-            jax.ops.segment_sum(jnp.ones_like(gray_t), t_p2v, num_segments=tgt.shape[0]), 1
+        gt = jax.ops.segment_sum(gray_t, t_p2v, num_segments=m) / jnp.maximum(
+            jax.ops.segment_sum(jnp.ones_like(gray_t), t_p2v, num_segments=m),
+            1,
         )
         mask_s = jnp.arange(n) < s_nv
-        mask_t = jnp.arange(tgt.shape[0]) < t_nv
-        # Colour weight per *target voxel*, matched against mean src gray —
-        # a pairwise-free approximation of the photometric objective.
-        cw = jnp.exp(
-            -((gt - jnp.mean(jnp.where(mask_s, gs, 0.0))) ** 2) / color_sigma**2
+        mask_t = jnp.arange(m) < t_nv
+        result = _colored_icp_scale(
+            s_cent, t_cent, gs, gt, scale * 1.4, mask_s, mask_t, R, t,
+            max_iter=int(iters), lambda_geometric=lambda_geometric,
         )
-        moved = transform_points(s_cent, R, t)
-        result = icp_point2plane(
-            moved,
-            t_cent,
-            max_dist=scale * 1.4,
-            src_mask=mask_s,
-            tgt_mask=mask_t,
-            max_iter=iters,
-            color_weight=cw,
-        )
-        R = result.R @ R
-        t = result.R @ t + result.t
-    return ICPResult(
-        R, t, result.fitness, result.inlier_rmse, result.n_inliers,
-        result.corr_idx, result.corr_inlier,
-    )
+        R = result.R
+        t = result.t
+    return result
 
 
 class RansacResult(NamedTuple):

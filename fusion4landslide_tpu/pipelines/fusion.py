@@ -568,15 +568,13 @@ def _fusion_tile_core(
 
     # --- 3. Global 3D voxel matches (base:2756-2889).
     _log(f"tile {tile_id}: stage global_3d_matches")
-    timer.stages.setdefault("global_3d_matches", 0.0)
-    _t3 = __import__("time").perf_counter()
-    g_idx, g_valid = global_matches_3d(
-        jnp.asarray(src_feat), jnp.asarray(tgt_feat),
-        jnp.asarray(src_vox), jnp.asarray(tgt_vox), max_mag,
-    )
-    g_idx = np.asarray(g_idx)
-    g_valid = np.asarray(g_valid)
-    timer.stages["global_3d_matches"] += __import__("time").perf_counter() - _t3
+    with timer.stage("global_3d_matches"):
+        g_idx, g_valid = global_matches_3d(
+            jnp.asarray(src_feat), jnp.asarray(tgt_feat),
+            jnp.asarray(src_vox), jnp.asarray(tgt_vox), max_mag,
+        )
+        g_idx = np.asarray(g_idx)
+        g_valid = np.asarray(g_valid)
 
     out_root = osp.join(
         str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
@@ -832,7 +830,8 @@ def _fusion_tile_core(
 
     for level in levels:
         _log(f"tile {tile_id}: stage partition level {level}")
-        _lt = __import__("time").perf_counter()
+        ctx = timer.stage(f"partition_l{level}")
+        ctx.__enter__()
         if use_spt_files:
             _, pt_lab_s = read_superpoint_partition(spt_src_path, int(level))
             _, pt_lab_t = read_superpoint_partition(spt_tgt_path, int(level))
@@ -846,13 +845,13 @@ def _fusion_tile_core(
             raw_t = np.asarray(seg_t.labels)
         lab_s, n_s = _compact_labels(raw_s, small_patch)
         lab_t, n_t = _compact_labels(raw_t, small_patch)
-        timer.stages[f"partition_l{level}"] = (
-            __import__("time").perf_counter() - _lt
-        )
+        ctx.__exit__(None, None, None)
         _log(f"tile {tile_id}: stage coarse+fine level {level}")
-        _lt = __import__("time").perf_counter()
+        ctx = timer.stage(f"match_l{level}")
+        ctx.__enter__()
         if n_s == 0 or n_t == 0:
             per_level_stats.append((level, 0, 0))
+            ctx.__exit__(None, None, None)
             continue
 
         S_s, S_t = bucket_size(n_s), bucket_size(n_t)
@@ -939,6 +938,7 @@ def _fusion_tile_core(
         pair_src = pairs[:, 0]
         if pair_src.size == 0:
             per_level_stats.append((level, n_s, 0))
+            ctx.__exit__(None, None, None)
             continue
         pair_tgt = pairs[:, 1]
         fine_only_2d = bool(cfg.get("fine_matching_only_2d", False)) and has_2d
@@ -1024,9 +1024,7 @@ def _fusion_tile_core(
             t2s_valid |= ttake
 
         per_level_stats.append((level, n_s, int(fvalid.sum())))
-        timer.stages[f"match_l{level}"] = (
-            __import__("time").perf_counter() - _lt
-        )
+        ctx.__exit__(None, None, None)
         if logger:
             logger.info(
                 "tile %s level %s: %d src spts, %d matched pairs, %d fine-valid",

@@ -218,10 +218,11 @@ def tile_point_clouds(
     ``non_overlap/{source,target}_tile_N.ply`` and
     ``overlap/..._tile_N_overlap.ply`` under ``save_dir``. Returns the tile
     count."""
-    from fusion4landslide_tpu.io.ply import read_ply, write_ply
+    from fusion4landslide_tpu.io import read_point_cloud
+    from fusion4landslide_tpu.io.ply import write_ply
 
-    s = read_ply(src_path)
-    t = read_ply(tgt_path)
+    s = read_point_cloud(src_path)
+    t = read_point_cloud(tgt_path)
     tiles, src_f, tgt_f, src_c, tgt_c, _ = tile_epoch_pair(
         s.points,
         t.points,

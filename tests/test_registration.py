@@ -90,3 +90,32 @@ def test_icp_generalized_recovers_transform(rng):
     np.testing.assert_allclose(np.asarray(res.R), R_true, atol=2e-3)
     np.testing.assert_allclose(np.asarray(res.t), t_true, atol=2e-3)
     assert float(res.fitness) > 0.95
+
+
+def test_colored_icp_recovers_inplane_shift(rng):
+    """Flat plane with a colour texture, shifted IN the plane: geometry
+    alone cannot observe the slide (point-to-plane is unconstrained along
+    the plane); the photometric tangent-plane term recovers it (Park et
+    al. objective, o3d_tools.py:74-128)."""
+    import jax.numpy as jnp
+
+    from fusion4landslide_tpu.ops.registration import colored_icp
+
+    n = 3000
+    xy = rng.uniform(0, 4, size=(n, 2))
+    pts = np.column_stack([xy, np.zeros(n)]).astype(np.float32)
+    gray = (0.5 + 0.4 * np.sin(xy[:, 0] * 4.0) * np.cos(xy[:, 1] * 3.0)).astype(
+        np.float32
+    )
+    colors = np.repeat(gray[:, None], 3, axis=1)
+    shift = np.array([0.015, -0.01, 0.0], np.float32)  # in-plane slide
+    res = colored_icp(
+        jnp.asarray(pts + shift),
+        jnp.asarray(pts),
+        jnp.asarray(colors),
+        jnp.asarray(colors),
+        voxel_scales=(0.08, 0.04),
+        max_iters=(30, 20),
+    )
+    np.testing.assert_allclose(np.asarray(res.t), -shift, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(res.R), np.eye(3), atol=5e-3)
