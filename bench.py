@@ -24,8 +24,9 @@ on the tunnelled TPU backend ``block_until_ready`` returns at dispatch-ack,
 not completion.
 
 Prints exactly one JSON line.
-Env: BENCH_MODE (e2e|knn), BENCH_N (points per epoch; default 300_000 e2e,
-1_000_000 knn).
+Env: BENCH_MODE (e2e|knn), BENCH_N (points per epoch; default 100_000 e2e,
+1_000_000 knn). The first e2e run is compile-dominated (minutes, persisted
+to the on-disk XLA cache); the reported number is the best (warm) run.
 """
 
 from __future__ import annotations
@@ -176,7 +177,7 @@ def main() -> None:
         n = int(os.environ.get("BENCH_N", 1_000_000))
         result = bench_knn(n)
     else:
-        n = int(os.environ.get("BENCH_N", 300_000))
+        n = int(os.environ.get("BENCH_N", 100_000))
         result = bench_e2e(n)
     print(json.dumps(result))
 

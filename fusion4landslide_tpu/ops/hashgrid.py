@@ -67,6 +67,17 @@ def build_hash_grid(
         mask = ref_mask.astype(bool)
     else:
         mask = jnp.ones((m,), bool)
+    # Bucket the reference count: the grid arrays feed the Pallas window
+    # kernels, which compile per shape; per-tile cloud sizes would
+    # otherwise recompile them per tile. Padded rows are masked into the
+    # dump cell and never sampled.
+    from fusion4landslide_tpu.ops.segments import bucket_size
+
+    mb = bucket_size(m)
+    if mb != m:
+        ref = jnp.pad(ref, ((0, mb - m), (0, 0)))
+        mask = jnp.pad(mask, (0, mb - m))
+        m = mb
     big = jnp.asarray(3e38, dtype)
     pts = jnp.where(mask[:, None], ref, big)
     origin = jnp.min(jnp.where(mask[:, None], ref, big), axis=0)
@@ -151,10 +162,20 @@ def hash_grid_knn(
         from fusion4landslide_tpu.ops.hashgrid_pallas import (
             hash_grid_knn_window,
         )
+        from fusion4landslide_tpu.ops.segments import bucket_size
 
+        # Bucket the query count: the window kernel compiles per padded
+        # query shape, and call sites pass wildly varying counts (per-tile
+        # clouds, per-tile assigned subsets). Padded queries ride along and
+        # are sliced off.
+        n = query.shape[0]
+        nb = bucket_size(n)
+        qp = jnp.pad(query, ((0, nb - n), (0, 0))) if nb != n else query
         d, i, ov = hash_grid_knn_window(
-            query, grid, radius, k, window=window, exclude_self=exclude_self
+            qp, grid, radius, k, window=window, exclude_self=exclude_self
         )
+        d = d[:n]
+        i = i[:n]
         if isinstance(ov, jax.core.Tracer):
             # Under an outer jit the overflow count can't gate a Python
             # branch — trust the configured window (callers can check ov).

@@ -547,3 +547,21 @@ def radius_sample_window(
         .swapaxes(1, 2)  # (n, num_points, 3)
     )
     return i_out, v_out.astype(bool), x_out, overflow
+
+
+def quantize_radius(radius: float, step: float = 1.02) -> float:
+    """Quantize a radius to a geometric grid (2% steps by default).
+
+    The window sampler bakes the radius into its Mosaic kernel as a
+    compile-time constant; per-tile adaptive radii (sqrt(3)·10·median_res)
+    would otherwise compile a fresh kernel per tile. A <=2% perturbation of
+    what is itself a heuristic support radius is immaterial to the
+    descriptors, and collapses the kernel variants to a handful that the
+    persistent compile cache retains across runs.
+    """
+    import math
+
+    r = float(radius)
+    if r <= 0:
+        return r
+    return float(step ** round(math.log(r) / math.log(step)))

@@ -85,13 +85,25 @@ def supervoxel_graph(
     if pallas_available() and concrete:
         from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
         from fusion4landslide_tpu.ops.hashgrid_pallas import (
+            quantize_radius,
             radius_sample_window,
         )
+        from fusion4landslide_tpu.ops.segments import bucket_size
 
-        grid = build_hash_grid(points, float(resolution), valid)
+        # Bucket the point count and quantize the radius: the window
+        # sampler bakes both into its kernel, and per-tile variation would
+        # otherwise recompile it per tile.
+        nb = bucket_size(n)
+        pts_p = jnp.pad(points, ((0, nb - n), (0, 0)))
+        valid_p = jnp.pad(valid, (0, nb - n))
+        res_q = quantize_radius(float(resolution))
+        grid = build_hash_grid(pts_p, res_q, valid_p)
         cand_i, cand_v, cand_x, _ = radius_sample_window(
-            points, grid, float(resolution), 128, priority="distance"
+            pts_p, grid, res_q, 128, priority="distance"
         )
+        cand_i = cand_i[:n]
+        cand_v = cand_v[:n]
+        cand_x = cand_x[:n]
         d2 = jnp.sum((cand_x - points[:, None, :]) ** 2, axis=-1)
         d2 = jnp.where(cand_v, d2, jnp.inf)
         neg, sel = jax.lax.top_k(-d2, k_neighbors)

@@ -53,6 +53,33 @@ __all__ = [
 ]
 
 
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _dips_chunk_sampled(dips_params, qc, xc, vc, radius, *, precision):
+    """One (chunk, P) pre-sampled LRF + PointNet chunk. Module-level and
+    shape-stable across tiles: the host loops chunks so the compiled
+    program does not bake the chunk count (a ``lax.map`` would recompile
+    for every tile size)."""
+    from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
+
+    patches = lrf_patches_from_neighbors(qc, xc, vc, radius)
+    return PointNetFeature(precision=precision).apply(dips_params, patches)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_max", "patch_points", "precision")
+)
+def _dips_chunk_knn(
+    dips_params, qc, halo_pts, halo_mask, radius, key, *,
+    k_max, patch_points, precision,
+):
+    """One kNN-based LRF + PointNet chunk (portable path)."""
+    patches = extract_lrf_patches(
+        qc, halo_pts, radius, key,
+        k_max=k_max, num_points=patch_points, support_mask=halo_mask,
+    )
+    return PointNetFeature(precision=precision).apply(dips_params, patches)
+
+
 def compute_dips_features(
     dips_params,
     core_pts: jax.Array,
@@ -70,17 +97,17 @@ def compute_dips_features(
     """(n, 64) DIPs descriptors for every core point.
 
     Patches come from the halo cloud (f2s3.py:111-114 passes the overlap
-    cloud as neighbourhood source). Work is chunked over query points.
+    cloud as neighbourhood source). Work is chunked over query points with
+    a HOST loop over one fixed-shape jitted chunk program, so tiles of any
+    size share a single compilation.
 
     ``precision``: matmul precision for the descriptor network. 'default'
     (bf16-grade MXU rate) changes L2-normalised descriptors by < 2e-5
     cosine vs 'highest' and runs ~2x faster.
     """
-    model = model or PointNetFeature(precision=precision)
+    if model is not None:
+        precision = model.precision
     n = core_pts.shape[0]
-    pad = (-n) % chunk
-    q = jnp.pad(core_pts, ((0, pad), (0, 0)))
-    n_chunks = q.shape[0] // chunk
 
     from fusion4landslide_tpu.ops.knn_pallas import pallas_available
 
@@ -88,52 +115,64 @@ def compute_dips_features(
         # TPU fast path: one grid-sampler sweep draws every patch's random
         # in-radius subset (no brute-force kNN, no top-k over k_max), then
         # the LRF math + network run chunked over fixed shapes.
+        #
+        # Compile stability: the sampler kernel bakes (shapes, radius, seed)
+        # as compile-time constants, so query/support counts are padded to
+        # power-of-two buckets, the radius is quantized to 2% steps, and the
+        # sampling seed is fixed (the per-candidate hash mixes point
+        # indices; determinism matches the reference's setup_seed(0)).
         from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
         from fusion4landslide_tpu.ops.hashgrid_pallas import (
+            quantize_radius,
             radius_sample_window,
         )
-        from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
+        from fusion4landslide_tpu.ops.segments import bucket_size
 
-        grid = build_hash_grid(halo_pts, float(radius), halo_mask)
-        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        nb = max(bucket_size(n), chunk)
+        nb = -(-nb // chunk) * chunk
+        q = jnp.pad(core_pts, ((0, nb - n), (0, 0)))
+        n_chunks = nb // chunk
+        m = halo_pts.shape[0]
+        mb = bucket_size(m)
+        halo_p = jnp.pad(halo_pts, ((0, mb - m), (0, 0)))
+        hmask = (
+            jnp.ones((m,), bool) if halo_mask is None
+            else jnp.asarray(halo_mask).astype(bool)
+        )
+        hmask_p = jnp.pad(hmask, (0, mb - m))
+        radius_q = quantize_radius(float(radius))
+
+        grid = build_hash_grid(halo_p, radius_q, hmask_p)
         _, valid, xyz, _ = radius_sample_window(
-            q, grid, float(radius), patch_points, seed
+            q, grid, radius_q, patch_points, 0
         )
+        qs = q.reshape(n_chunks, chunk, 3)
+        xs = xyz.reshape(n_chunks, chunk, patch_points, 3)
+        vs = valid.reshape(n_chunks, chunk, patch_points)
+        feats = [
+            _dips_chunk_sampled(
+                dips_params, qs[i], xs[i], vs[i],
+                jnp.asarray(radius_q, jnp.float32),
+                precision=precision,
+            )
+            for i in range(n_chunks)
+        ]
+        return jnp.concatenate(feats, axis=0)[:n]
 
-        @jax.jit
-        def one_sampled(args):
-            qc, xc, vc = args
-            patches = lrf_patches_from_neighbors(qc, xc, vc, radius)
-            return model.apply(dips_params, patches)
-
-        feats = jax.lax.map(
-            one_sampled,
-            (
-                q.reshape(n_chunks, chunk, 3),
-                xyz.reshape(n_chunks, chunk, patch_points, 3),
-                valid.reshape(n_chunks, chunk, patch_points),
-            ),
-        )
-        return feats.reshape(-1, feats.shape[-1])[:n]
+    pad = (-n) % chunk
+    q = jnp.pad(core_pts, ((0, pad), (0, 0)))
+    n_chunks = q.shape[0] // chunk
 
     keys = jax.random.split(key, n_chunks)
-
-    @jax.jit
-    def one(args):
-        qc, k = args
-        patches = extract_lrf_patches(
-            qc,
-            halo_pts,
-            radius,
-            k,
-            k_max=k_max,
-            num_points=patch_points,
-            support_mask=halo_mask,
+    qs = q.reshape(n_chunks, chunk, 3)
+    feats = [
+        _dips_chunk_knn(
+            dips_params, qs[i], halo_pts, halo_mask, radius, keys[i],
+            k_max=k_max, patch_points=patch_points, precision=precision,
         )
-        return model.apply(dips_params, patches)
-
-    feats = jax.lax.map(one, (q.reshape(n_chunks, chunk, 3), keys))
-    return feats.reshape(-1, feats.shape[-1])[:n]
+        for i in range(n_chunks)
+    ]
+    return jnp.concatenate(feats, axis=0)[:n]
 
 
 @functools.partial(

@@ -958,10 +958,22 @@ def _fusion_tile_core(
                 corres2_valid=jnp.asarray(c2d_valid),
                 weighting=bool(cfg.get("weighting_svd", False)),
             )
+        # Bucket the pair count so the jitted fine matcher compiles once
+        # per bucket instead of once per distinct pair count.
+        n_pairs = pair_src.size
+        pairs_cap = bucket_size(n_pairs)
+        pair_src_b = np.zeros(pairs_cap, np.int64)
+        pair_src_b[:n_pairs] = pair_src
+        pair_tgt_b = np.full(pairs_cap, -1, np.int64)
+        pair_tgt_b[:n_pairs] = pair_tgt
+        memmask_pad = jnp.take(memmask_s, jnp.asarray(pair_src_b), axis=0)
+        memmask_pad = memmask_pad & (
+            jnp.arange(pairs_cap) < n_pairs
+        )[:, None]
         fine = fine_match_pairs(
-            jnp.take(mem_s, jnp.asarray(pair_src), axis=0),
-            jnp.take(memmask_s, jnp.asarray(pair_src), axis=0),
-            jnp.asarray(pair_tgt, jnp.int32),
+            jnp.take(mem_s, jnp.asarray(pair_src_b), axis=0),
+            memmask_pad,
+            jnp.asarray(pair_tgt_b, jnp.int32),
             jnp.asarray(ch1_idx, jnp.int32),
             jnp.asarray(ch1_valid),
             jnp.asarray(lab_t, jnp.int32),
@@ -974,10 +986,10 @@ def _fusion_tile_core(
             icp_threshold=icp_thr,
             **fine_kw,
         )
-        fR = np.asarray(fine.R)
-        ft = np.asarray(fine.t)
-        frmse = np.asarray(fine.rmse)
-        fvalid = np.asarray(fine.valid)
+        fR = np.asarray(fine.R)[:n_pairs]
+        ft = np.asarray(fine.t)[:n_pairs]
+        frmse = np.asarray(fine.rmse)[:n_pairs]
+        fvalid = np.asarray(fine.valid)[:n_pairs]
 
         # Map per-pair transforms to per-src-label slots.
         lab_R = np.tile(np.eye(3, dtype=np.float32), (n_s, 1, 1))
