@@ -84,6 +84,7 @@ def bench_e2e(n: int) -> dict:
         "voxel_size_init": 0.1,
         "assign_type": "assign_then_nn",
         "output_tgt2src": False,
+        "save_interim": False,
         "output_dir": "/tmp/f4l_bench",
         "output_folder": "run",
         "dataset": "brienz_tls",

@@ -27,12 +27,24 @@ def read_las(path: str) -> PointCloud:
         header = f.read(375)
         if header[:4] != b"LASF":
             raise ValueError("not a LAS file")
+        if len(header) < 227:  # smallest valid header (LAS <= 1.3)
+            raise ValueError("truncated LAS header")
         ver_major, ver_minor = header[24], header[25]
+        header_size = struct.unpack_from("<H", header, 94)[0]
+        if header_size < 227 or (ver_minor >= 4 and header_size < 375):
+            raise ValueError(
+                f"LAS {ver_major}.{ver_minor} header size {header_size} is "
+                "below the specification minimum"
+            )
         offset_to_points = struct.unpack_from("<I", header, 96)[0]
+        if offset_to_points < header_size:
+            raise ValueError("point-data offset inside the header")
         fmt_id = header[104]
         if fmt_id & 0x80:  # LAZ compression bit
             raise ValueError("LAZ-compressed files are not supported")
         record_len = struct.unpack_from("<H", header, 105)[0]
+        if record_len < 20:  # format 0 minimum
+            raise ValueError(f"invalid point record length {record_len}")
         n_points = struct.unpack_from("<I", header, 107)[0]
         scales = struct.unpack_from("<3d", header, 131)
         offsets = struct.unpack_from("<3d", header, 155)
@@ -40,9 +52,13 @@ def read_las(path: str) -> PointCloud:
             n_points = struct.unpack_from("<Q", header, 247)[0]
 
         f.seek(offset_to_points)
-        raw = np.frombuffer(
-            f.read(n_points * record_len), dtype=np.uint8
-        ).reshape(n_points, record_len)
+        buf = f.read(n_points * record_len)
+        if len(buf) < n_points * record_len:
+            raise ValueError(
+                f"truncated LAS point data: header declares {n_points} "
+                f"records of {record_len} B, file holds {len(buf)} B"
+            )
+        raw = np.frombuffer(buf, dtype=np.uint8).reshape(n_points, record_len)
 
     def field(off, dt):
         width = np.dtype(dt).itemsize

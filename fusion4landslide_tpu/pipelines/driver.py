@@ -150,7 +150,38 @@ def load_or_compute_features(
         with np.load(path) as z:
             return dict(z)
     out = compute_fn()
-    np.savez_compressed(path, **out)
-    if logger:
-        logger.info("Saved feature cache to %s", path)
+    # Compressing ~50 MB of descriptors costs seconds of single-core CPU
+    # per tile; only persist the cache when interim artifacts are wanted
+    # (the reference always writes, base:2039-2049 — save_interim: True
+    # restores that).
+    if bool(cfg.get("save_interim", True)):
+        np.savez_compressed(path, **out)
+        if logger:
+            logger.info("Saved feature cache to %s", path)
     return out
+
+
+def iter_tile_clouds(tiles, *, prefetch: int = 2):
+    """Yield (tile_id, src_cloud, tgt_cloud) with background prefetch.
+
+    While the device crunches tile i, a reader thread parses tile i+1's
+    PLY pair — the host-IO double buffering the serial reference loop
+    lacks (main_fusion.py:134 reads synchronously per tile).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fusion4landslide_tpu.io import read_point_cloud
+
+    def load(entry):
+        tile_id, src_path, tgt_path = entry
+        return tile_id, read_point_cloud(src_path), read_point_cloud(tgt_path)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = [pool.submit(load, e) for e in tiles[:prefetch]]
+        nxt = prefetch
+        for _ in range(len(tiles)):
+            result = futures.pop(0).result()
+            if nxt < len(tiles):
+                futures.append(pool.submit(load, tiles[nxt]))
+                nxt += 1
+            yield result

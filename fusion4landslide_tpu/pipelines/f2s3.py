@@ -55,14 +55,30 @@ __all__ = [
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _dips_chunk_sampled(dips_params, qc, xc, vc, radius, *, precision):
-    """One (chunk, P) pre-sampled LRF + PointNet chunk. Module-level and
-    shape-stable across tiles: the host loops chunks so the compiled
-    program does not bake the chunk count (a ``lax.map`` would recompile
-    for every tile size)."""
+    """One (chunk, P) pre-sampled LRF + PointNet chunk."""
     from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
 
     patches = lrf_patches_from_neighbors(qc, xc, vc, radius)
     return PointNetFeature(precision=precision).apply(dips_params, patches)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision):
+    """All pre-sampled chunks in ONE dispatch (lax.map over the leading
+    chunk axis). The caller buckets the point count, so the baked chunk
+    count takes only a handful of values — one compile per bucket — while
+    a host loop would pay a device-dispatch round trip per chunk (dozens
+    of tunnel round trips per tile)."""
+    from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
+
+    model = PointNetFeature(precision=precision)
+
+    def one(args):
+        qc, xc, vc = args
+        patches = lrf_patches_from_neighbors(qc, xc, vc, radius)
+        return model.apply(dips_params, patches)
+
+    return jax.lax.map(one, (qs, xs, vs))
 
 
 @functools.partial(
@@ -149,15 +165,11 @@ def compute_dips_features(
         qs = q.reshape(n_chunks, chunk, 3)
         xs = xyz.reshape(n_chunks, chunk, patch_points, 3)
         vs = valid.reshape(n_chunks, chunk, patch_points)
-        feats = [
-            _dips_chunk_sampled(
-                dips_params, qs[i], xs[i], vs[i],
-                jnp.asarray(radius_q, jnp.float32),
-                precision=precision,
-            )
-            for i in range(n_chunks)
-        ]
-        return jnp.concatenate(feats, axis=0)[:n]
+        feats = _dips_chunks_mapped(
+            dips_params, qs, xs, vs, jnp.asarray(radius_q, jnp.float32),
+            precision=precision,
+        )
+        return feats.reshape(-1, feats.shape[-1])[:n]
 
     pad = (-n) % chunk
     q = jnp.pad(core_pts, ((0, pad), (0, 0)))

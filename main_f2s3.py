@@ -17,7 +17,6 @@ apply_platform_from_env()
 import os.path as osp
 import time
 
-from fusion4landslide_tpu.io.ply import read_ply
 from fusion4landslide_tpu.pipelines.driver import (
     ensure_tiles,
     list_tiles,
@@ -87,19 +86,19 @@ def main() -> None:
         logger.info(
             "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
         )
-        loaded = []
-        for tile_id, src_path, tgt_path in tiles:
-            loaded.append(
-                (tile_id, read_ply(src_path).points, read_ply(tgt_path).points)
-            )
+        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
+        loaded = [
+            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
+        ]
         run_f2s3_tiles_sharded(
             cfg, dips_params, filt_params, loaded, logger=logger
         )
     else:
-        for tile_id, src_path, tgt_path in tiles:
+        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
+        for tile_id, src, tgt in iter_tile_clouds(tiles):
             logger.info("Processing tile %s", tile_id)
-            src = read_ply(src_path)
-            tgt = read_ply(tgt_path)
             run_f2s3_tile(
                 cfg,
                 dips_params,

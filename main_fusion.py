@@ -16,7 +16,6 @@ apply_platform_from_env()
 import os.path as osp
 import time
 
-from fusion4landslide_tpu.io.ply import read_ply
 from fusion4landslide_tpu.pipelines.driver import (
     ensure_tiles,
     list_tiles,
@@ -163,9 +162,10 @@ def main() -> None:
         logger.info(
             "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
         )
+        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
         loaded = [
-            (tile_id, read_ply(sp).points, read_ply(tp).points)
-            for tile_id, sp, tp in tiles
+            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
         ]
         run_fusion3d_tiles_sharded(
             cfg, dips_params, agg_params, loaded, logger=logger
@@ -181,10 +181,10 @@ def main() -> None:
             _img_cache[path] = load_image(path)
         return _img_cache[path]
 
-    for tile_id, src_path, tgt_path in tiles:
+    from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
+    for tile_id, src, tgt in iter_tile_clouds(tiles):
         logger.info("Processing tile %s", tile_id)
-        src = read_ply(src_path)
-        tgt = read_ply(tgt_path)
         if image_candidates is not None:
             # Per-tile best-image selection (base:760-858) + optional
             # num_sub_img > 1 multi-image channels.

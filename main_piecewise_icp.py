@@ -11,7 +11,6 @@ from fusion4landslide_tpu.utils.platform import apply_platform_from_env
 apply_platform_from_env()
 import time
 
-from fusion4landslide_tpu.io.ply import read_ply
 from fusion4landslide_tpu.pipelines.driver import (
     ensure_tiles,
     list_tiles,
@@ -42,10 +41,10 @@ def main() -> None:
     )
     logger.info("Num. of tile(s): %d", len(tiles))
 
-    for tile_id, src_path, tgt_path in tiles:
+    from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
+    for tile_id, src, tgt in iter_tile_clouds(tiles):
         logger.info("Processing tile %s", tile_id)
-        src = read_ply(src_path)
-        tgt = read_ply(tgt_path)
         run_piecewise_icp(
             src.points,
             tgt.points,

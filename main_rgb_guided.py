@@ -16,7 +16,6 @@ import time
 import numpy as np
 
 from fusion4landslide_tpu.image.cameras import load_extrinsics, load_intrinsic
-from fusion4landslide_tpu.io.ply import read_ply
 from fusion4landslide_tpu.pipelines.driver import (
     ensure_tiles,
     list_tiles,
@@ -68,10 +67,10 @@ def main() -> None:
         osp.join(input_root, "image", "raw_images", cfg.get("tgt_image"))
     )
 
-    for tile_id, src_path, tgt_path in tiles:
+    from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
+    for tile_id, src, tgt in iter_tile_clouds(tiles):
         logger.info("Processing tile %s", tile_id)
-        src = read_ply(src_path)
-        tgt = read_ply(tgt_path)
         run_rgb_guided_tile(
             cfg,
             src.points,

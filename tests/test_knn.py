@@ -112,3 +112,31 @@ def test_radius_neighbors(rng):
             assert got == ref_set
         else:
             assert got <= ref_set and len(got) == 16
+
+
+def test_merge_correspondences_by_priority():
+    """Reference cross-level dedup merge (coarse_to_fine_matching.py:40-118):
+    earlier levels win; later rows within the threshold of any merged source
+    point are dropped."""
+    from fusion4landslide_tpu.ops.merge import merge_correspondences_by_priority
+
+    l0 = np.array([[0, 0, 0, 1, 1, 1], [1, 0, 0, 2, 0, 0]], np.float32)
+    l1 = np.array(
+        [
+            [0, 0, 0.0005, 9, 9, 9],  # dup of l0 row 0 -> dropped
+            [5, 5, 5, 6, 6, 6],  # new -> kept
+        ],
+        np.float32,
+    )
+    l2 = np.array(
+        [
+            [5, 5, 5.0001, 7, 7, 7],  # dup of the row l1 contributed
+            [9, 0, 0, 9, 1, 1],  # new
+        ],
+        np.float32,
+    )
+    out = merge_correspondences_by_priority([l0, l1, l2], 1e-3)
+    assert out.shape == (4, 6)
+    np.testing.assert_array_equal(out[:2], l0)
+    np.testing.assert_array_equal(out[2], l1[1])
+    np.testing.assert_array_equal(out[3], l2[1])
