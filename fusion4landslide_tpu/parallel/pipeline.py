@@ -33,6 +33,8 @@ __all__ = [
     "run_f2s3_tiles_sharded",
     "make_sharded_fusion3d_step",
     "run_fusion3d_tiles_sharded",
+    "make_sharded_piecewise_step",
+    "run_piecewise_tiles_sharded",
 ]
 
 
@@ -400,4 +402,138 @@ def run_fusion3d_tiles_sharded(
                 "dvfs": dvfs_dense,
                 "assigned_fraction": float(valid.mean()) if n else 0.0,
             }
+    return results
+
+
+def make_sharded_piecewise_step(mesh, *, max_cells: int):
+    """Jitted multi-tile piecewise-ICP step over ``mesh``: the per-tile
+    octree-cell displacement solve (``pipelines.piecewise_icp.
+    piecewise_icp_core``) on a sharded batch of padded tiles.
+
+    Returns ``step(src (T,N,3), smask (T,N), tgt (T,M,3), tmask (T,M),
+    smax (T,), n_min (T,)) -> PiecewiseResult`` with leading tile axis.
+    """
+    from fusion4landslide_tpu.pipelines.piecewise_icp import piecewise_icp_core
+
+    def local(src, smask, tgt, tmask, smax, n_min):
+        return jax.lax.map(
+            lambda a: piecewise_icp_core(
+                a[0], a[2], a[1], a[3], a[4], a[5], max_cells=max_cells
+            ),
+            (src, smask, tgt, tmask, smax, n_min),
+        )
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tiles"),) * 6,
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def run_piecewise_tiles_sharded(
+    cfg,
+    tiles: list,
+    *,
+    logger=None,
+    mesh=None,
+) -> dict:
+    """Piecewise-ICP over an epoch pair's tiles, data-parallel on the mesh.
+
+    Writes the same per-tile result tables as the serial
+    ``pipelines.piecewise_icp.run_piecewise_icp`` path.
+    """
+    import os
+
+    from fusion4landslide_tpu.io.results import (
+        save_dvfms,
+        save_dvfs,
+        visual_clamp_magnitude,
+    )
+    from fusion4landslide_tpu.ops.segments import bucket_size
+    from fusion4landslide_tpu.pipelines.piecewise_icp import suggest_max_cells
+
+    if not tiles:
+        return {}
+    mesh = mesh or tile_mesh()
+    n_dev = mesh.devices.size
+    smax = float(cfg.get("smax", 5.0))
+    n_min = int(cfg.get("number_points_min", 10))
+
+    N = bucket_size(max(t[1].shape[0] for t in tiles))
+    M = bucket_size(max(t[2].shape[0] for t in tiles))
+    ext = max(
+        float((t[1].max(axis=0) - t[1].min(axis=0)).max()) for t in tiles
+    )
+    max_cells = suggest_max_cells(ext, smax, N, n_min)
+    step = make_sharded_piecewise_step(mesh, max_cells=max_cells)
+
+    out_dir = cfg.get("output_root") or (
+        str(cfg.get("output_dir", ".")) + "/" + str(cfg.get("output_folder", "run"))
+    )
+    results_dir = os.path.join(out_dir, "results")
+    os.makedirs(results_dir, exist_ok=True)
+
+    results: dict = {}
+    for start in range(0, len(tiles), n_dev):
+        batch = tiles[start : start + n_dev]
+        T = n_dev
+        src_b = np.zeros((T, N, 3), np.float32)
+        smask_b = np.zeros((T, N), bool)
+        tgt_b = np.zeros((T, M, 3), np.float32)
+        tmask_b = np.zeros((T, M), bool)
+        centers = []
+        for i in range(T):
+            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
+            center = src.mean(axis=0)
+            centers.append(center)
+            s = (src - center).astype(np.float32)
+            t = (tgt - center).astype(np.float32)
+            src_b[i, : s.shape[0]] = s
+            smask_b[i, : s.shape[0]] = True
+            tgt_b[i, : t.shape[0]] = t
+            tmask_b[i, : t.shape[0]] = True
+        out = step(
+            jnp.asarray(src_b),
+            jnp.asarray(smask_b),
+            jnp.asarray(tgt_b),
+            jnp.asarray(tmask_b),
+            jnp.full((T,), smax, jnp.float32),
+            jnp.full((T,), n_min, jnp.int32),
+        )
+        out = jax.device_get(out)
+        for i, (tile_id, src, tgt) in enumerate(batch):
+            n = src.shape[0]
+            keep = out.out_mask[i, :n]
+            disp = out.displacement[i, :n]
+            src_kept = src[keep]
+            dvfs = np.hstack([src_kept, src_kept + disp[keep]])
+            save_dvfs(
+                os.path.join(
+                    results_dir, f"piecewise_icp_dvfs_of_tile_{tile_id}.txt"
+                ),
+                dvfs,
+            )
+            dvfms = save_dvfms(
+                os.path.join(
+                    results_dir, f"piecewise_icp_dvfms_of_tile_{tile_id}.txt"
+                ),
+                dvfs,
+            )
+            vis = visual_clamp_magnitude(dvfms, cfg.get("dataset"))
+            np.savetxt(
+                os.path.join(
+                    results_dir,
+                    f"piecewise_dvfms_visualize_of_tile_{tile_id}.txt",
+                ),
+                vis,
+            )
+            if logger:
+                logger.info(
+                    "tile %s (sharded piecewise): %d kept, %d cells",
+                    tile_id, int(keep.sum()), int(out.n_cells_src[i]),
+                )
+            results[tile_id] = {"dvfs": dvfs}
     return results

@@ -41,6 +41,24 @@ def main() -> None:
     )
     logger.info("Num. of tile(s): %d", len(tiles))
 
+    import jax
+
+    use_mesh = cfg.get("use_mesh", "auto")
+    if use_mesh == "auto":
+        use_mesh = jax.device_count() > 1 and len(tiles) > 1
+    if use_mesh:
+        from fusion4landslide_tpu.parallel import run_piecewise_tiles_sharded
+        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
+        logger.info(
+            "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
+        )
+        loaded = [
+            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
+        ]
+        run_piecewise_tiles_sharded(cfg, loaded, logger=logger)
+        tiles = []
+
     from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
 
     for tile_id, src, tgt in iter_tile_clouds(tiles):

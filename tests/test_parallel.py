@@ -266,3 +266,34 @@ def test_sharded_fusion3d_recovers_rigid_shift(rng, tmp_path):
     np.testing.assert_allclose(
         t2s[:, 3], np.linalg.norm(shift), atol=1e-3
     )
+
+
+@needs_mesh
+def test_sharded_piecewise_matches_serial(rng, tmp_path):
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.parallel import run_piecewise_tiles_sharded, tile_mesh
+    from fusion4landslide_tpu.pipelines.piecewise_icp import run_piecewise_icp
+
+    n = 4000
+    xy = rng.uniform(0, 20, size=(n, 2))
+    z = np.sin(xy[:, 0]) * 0.5
+    src = np.column_stack([xy, z])
+    tgt = src.copy()
+    tgt[src[:, 0] > 15, 2] += 0.3  # 25% moving
+    tiles = [(i, src + i * 0.001, tgt + i * 0.001) for i in range(8)]
+
+    cfg = Config(
+        {
+            "output_dir": str(tmp_path), "output_folder": "run",
+            "smax": 2.0, "number_points_min": 10,
+        }
+    )
+    run_piecewise_tiles_sharded(cfg, tiles, mesh=tile_mesh(8))
+    got = np.loadtxt(tmp_path / "run" / "results" / "piecewise_icp_dvfs_of_tile_2.txt")
+
+    serial = run_piecewise_icp(
+        tiles[2][1], tiles[2][2], smax=2.0, number_points_min=10,
+        output_dir=None, tile_id=2,
+    )
+    assert got.shape == serial.shape
+    np.testing.assert_allclose(got, serial, atol=1e-4)
