@@ -790,11 +790,24 @@ def _fusion_tile_core(
         and osp.exists(spt_src_path)
         and osp.exists(spt_tgt_path)
     )
-    if partition_type == "superpoint" and not use_spt_files and logger:
-        logger.warning(
-            "partition_type=superpoint but %s not found — falling back to "
-            "supervoxel partitioning", spt_src_path,
+    if partition_type == "superpoint" and not use_spt_files:
+        # Generate the partition natively (geometric-feature hierarchy,
+        # ops/superpoint.py — the SPT bridge's role,
+        # src/superpoint_partition.py:37-162) and persist the reference
+        # 15-column artifact for resume/inspection.
+        if logger:
+            logger.info(
+                "partition_type=superpoint: generating native partition "
+                "hierarchy for tile %s", tile_id,
+            )
+        from fusion4landslide_tpu.ops.superpoint import (
+            generate_superpoint_partition,
         )
+
+        os.makedirs(osp.dirname(spt_src_path), exist_ok=True)
+        generate_superpoint_partition(src_core, spt_src_path, levels=3)
+        generate_superpoint_partition(tgt_core, spt_tgt_path, levels=3)
+        use_spt_files = True
     if use_spt_files:
         from fusion4landslide_tpu.ops.partition_io import read_superpoint_partition
 
