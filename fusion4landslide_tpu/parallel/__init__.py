@@ -5,9 +5,11 @@ from fusion4landslide_tpu.parallel.pipeline import (
     make_sharded_f2s3_step,
     make_sharded_fusion3d_step,
     make_sharded_piecewise_step,
+    make_sharded_rgb_guided_step,
     run_f2s3_tiles_sharded,
     run_fusion3d_tiles_sharded,
     run_piecewise_tiles_sharded,
+    run_rgb_guided_tiles_sharded,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "run_fusion3d_tiles_sharded",
     "make_sharded_piecewise_step",
     "run_piecewise_tiles_sharded",
+    "make_sharded_rgb_guided_step",
+    "run_rgb_guided_tiles_sharded",
 ]

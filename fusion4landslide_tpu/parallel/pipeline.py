@@ -35,6 +35,8 @@ __all__ = [
     "run_fusion3d_tiles_sharded",
     "make_sharded_piecewise_step",
     "run_piecewise_tiles_sharded",
+    "make_sharded_rgb_guided_step",
+    "run_rgb_guided_tiles_sharded",
 ]
 
 
@@ -536,4 +538,208 @@ def run_piecewise_tiles_sharded(
                     tile_id, int(keep.sum()), int(out.n_cells_src[i]),
                 )
             results[tile_id] = {"dvfs": dvfs}
+    return results
+
+
+def make_sharded_rgb_guided_step(mesh, **statics):
+    """Jitted multi-tile RGB-guided step over ``mesh``. The pixel-match
+    table and camera matrices are replicated (the images are global);
+    tiles shard over the ``tiles`` axis."""
+    from fusion4landslide_tpu.pipelines.rgb_guided_device import (
+        rgb_guided_tile_step,
+    )
+
+    per_tile = functools.partial(rgb_guided_tile_step, **statics)
+
+    def local(
+        src, smask, tgt, tmask, centers, corres_2d, cmask,
+        se, te, K, Kt, pixel_thres, max_mag, icp_thr, voxel_size,
+    ):
+        return jax.lax.map(
+            lambda a: per_tile(
+                a[0], a[1], a[2], a[3], a[4], corres_2d, cmask,
+                se, te, K, Kt, a[5], a[6], a[7], a[8],
+            ),
+            (src, smask, tgt, tmask, centers,
+             pixel_thres, max_mag, icp_thr, voxel_size),
+        )
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tiles"),) * 5 + (P(),) * 6 + (P("tiles"),) * 4,
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def run_rgb_guided_tiles_sharded(
+    cfg,
+    tiles: list,
+    src_image,
+    tgt_image,
+    intrinsic,
+    src_extrinsic,
+    tgt_extrinsic,
+    *,
+    tgt_intrinsic=None,
+    corres_2d=None,
+    logger=None,
+    mesh=None,
+) -> dict:
+    """RGB-guided estimation over an epoch pair's tiles on the mesh.
+
+    The dense 2D matching runs ONCE on the host for the image pair (any
+    registered matcher); the per-tile device program shards over tiles.
+    Writes the same result tables as the serial
+    ``pipelines.rgb_guided.run_rgb_guided_tile``.
+    """
+    import os
+
+    from fusion4landslide_tpu.image.matching import match_epoch_images
+    from fusion4landslide_tpu.io.results import (
+        save_dvfms,
+        save_dvfs,
+        visual_clamp_magnitude,
+    )
+    from fusion4landslide_tpu.ops.segments import bucket_size
+
+    if not tiles:
+        return {}
+    mesh = mesh or tile_mesh()
+    n_dev = mesh.devices.size
+
+    if corres_2d is None:
+        corres_2d = match_epoch_images(
+            src_image,
+            tgt_image,
+            matcher=str(cfg.get("img_matching_type", "zncc")).lower(),
+            crop_size=tuple(cfg["crop_size"]) if cfg.get("crop_size") else None,
+            overlap_size=tuple(cfg["overlap_size"])
+            if cfg.get("overlap_size")
+            else None,
+            cross_crops=bool(cfg.get("img_matching_cross_crops", False)),
+            max_flow_px=cfg.get("max_flow_px"),
+            logger=logger,
+        )
+    corres_2d = np.asarray(corres_2d, np.float32).reshape(-1, 4)
+    C = max(bucket_size(max(len(corres_2d), 1)), 64)
+    c2 = np.zeros((C, 4), np.float32)
+    c2[: len(corres_2d)] = corres_2d
+    cmask = np.zeros((C,), bool)
+    cmask[: len(corres_2d)] = True
+
+    image_size = tuple(cfg.get("image_size") or src_image.shape[:2])
+    v_flip = str(cfg.get("dataset", "")).lower() != "rockfall_simulator"
+    N = bucket_size(max(t[1].shape[0] for t in tiles))
+    M = bucket_size(max(t[2].shape[0] for t in tiles))
+    sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
+    member_cap = int(cfg.get("member_cap", 0)) or 1024
+    mode = str(cfg.get("matches_from_2d_type", "nn_src_only"))
+    if mode == "nn_src_with_tgt_for_visualize":
+        mode = "nn_src_only"
+    step = make_sharded_rgb_guided_step(
+        mesh,
+        image_size=image_size,
+        v_flip=v_flip,
+        k_neighbors=int(cfg.get("n_normals", 30)),
+        sv_cap=sv_cap,
+        member_cap=member_cap,
+        mode=mode,
+    )
+
+    out_dir = cfg.get("output_root") or os.path.join(
+        str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
+    )
+    results_dir = os.path.join(out_dir, "results")
+    os.makedirs(results_dir, exist_ok=True)
+
+    pixel_thres = float(cfg.get("pixel_thres", 5))
+    max_mag = float(cfg.get("max_magnitude", 10.0))
+    icp_thr = float(cfg.get("icp_threshold", cfg.get("threshold", 0.1)))
+    voxel = float(cfg.get("voxel_size", 0.0) or 0.0)
+
+    results: dict = {}
+    for start in range(0, len(tiles), n_dev):
+        batch = tiles[start : start + n_dev]
+        T = n_dev
+        src_b = np.zeros((T, N, 3), np.float32)
+        smask_b = np.zeros((T, N), bool)
+        tgt_b = np.zeros((T, M, 3), np.float32)
+        tmask_b = np.zeros((T, M), bool)
+        centers = np.zeros((T, 3), np.float32)
+        for i in range(T):
+            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
+            center = src.mean(axis=0)
+            centers[i] = center
+            s = (src - center).astype(np.float32)
+            t = (tgt - center).astype(np.float32)
+            src_b[i, : s.shape[0]] = s
+            smask_b[i, : s.shape[0]] = True
+            tgt_b[i, : t.shape[0]] = t
+            tmask_b[i, : t.shape[0]] = True
+        scal = lambda v: jnp.full((T,), v, jnp.float32)
+        out = step(
+            jnp.asarray(src_b), jnp.asarray(smask_b),
+            jnp.asarray(tgt_b), jnp.asarray(tmask_b),
+            jnp.asarray(centers),
+            jnp.asarray(c2), jnp.asarray(cmask),
+            jnp.asarray(src_extrinsic, jnp.float32),
+            jnp.asarray(tgt_extrinsic, jnp.float32),
+            jnp.asarray(intrinsic, jnp.float32),
+            jnp.asarray(
+                intrinsic if tgt_intrinsic is None else tgt_intrinsic,
+                jnp.float32,
+            ),
+            scal(pixel_thres), scal(max_mag), scal(icp_thr), scal(voxel),
+        )
+        out = jax.device_get(out)
+        for i, (tile_id, src, tgt) in enumerate(batch):
+            n = src.shape[0]
+            center = centers[i]
+            matched = out.matched[i, :n]
+            # Pre-refinement dvfms (rgb_guided.py:1594-1607).
+            mags0 = np.linalg.norm(
+                out.tgt_match[i, :n] - src_b[i, :n], axis=1
+            )
+            np.savetxt(
+                os.path.join(
+                    results_dir,
+                    f"rgb_guided_wo_refinement_dvfms_tile_{tile_id}.txt",
+                ),
+                np.hstack([src[matched], mags0[matched][:, None]]),
+            )
+            valid = out.valid[i, :n]
+            dvfs = np.hstack(
+                [src[valid], out.moved[i, :n][valid] + center]
+            )
+            save_dvfs(
+                os.path.join(
+                    results_dir,
+                    f"rgb_guided_w_refinement_dvfs_src2tgt_tile_{tile_id}.txt",
+                ),
+                dvfs,
+            )
+            dvfms = save_dvfms(
+                os.path.join(
+                    results_dir,
+                    f"rgb_guided_w_refinement_dvfms_src2tgt_tile_{tile_id}.txt",
+                ),
+                dvfs,
+            )
+            if dvfms.shape[0] > 2:
+                np.savetxt(
+                    os.path.join(
+                        results_dir,
+                        f"rgb_guided_w_refinement_dvfms_src2tgt_visualize_tile_{tile_id}.txt",
+                    ),
+                    visual_clamp_magnitude(dvfms, cfg.get("dataset")),
+                )
+            if logger:
+                logger.info(
+                    "tile %s (sharded rgb_guided): %d matched, %d assigned",
+                    tile_id, int(matched.sum()), int(valid.sum()),
+                )
+            results[tile_id] = {"dvfs": dvfs, "n_matches": int(matched.sum())}
     return results

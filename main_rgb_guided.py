@@ -67,6 +67,29 @@ def main() -> None:
         osp.join(input_root, "image", "raw_images", cfg.get("tgt_image"))
     )
 
+    import jax
+
+    use_mesh = cfg.get("use_mesh", "auto")
+    if use_mesh == "auto":
+        use_mesh = jax.device_count() > 1 and len(tiles) > 1
+    if use_mesh:
+        # Multi-chip path: the dense 2D matching runs once on the host;
+        # the per-tile device program shards over the mesh.
+        from fusion4landslide_tpu.parallel import run_rgb_guided_tiles_sharded
+        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+
+        logger.info(
+            "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
+        )
+        loaded = [
+            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
+        ]
+        run_rgb_guided_tiles_sharded(
+            cfg, loaded, src_img, tgt_img, intrinsic, src_ext, tgt_ext,
+            tgt_intrinsic=tgt_intrinsic, logger=logger,
+        )
+        tiles = []
+
     from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
 
     for tile_id, src, tgt in iter_tile_clouds(tiles):

@@ -297,3 +297,79 @@ def test_sharded_piecewise_matches_serial(rng, tmp_path):
     )
     assert got.shape == serial.shape
     np.testing.assert_allclose(got, serial, atol=1e-4)
+
+
+@needs_mesh
+def test_sharded_rgb_guided_matches_serial(rng, tmp_path):
+    """The device-resident RGB-guided tile step on the 8-dev mesh agrees
+    with the serial host path on a rendered-texture scene."""
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.image.geometry import (
+        project_points,
+        rasterize_depth,
+    )
+    from fusion4landslide_tpu.image.matching import match_epoch_images
+    from fusion4landslide_tpu.parallel import (
+        run_rgb_guided_tiles_sharded,
+        tile_mesh,
+    )
+    from fusion4landslide_tpu.pipelines.rgb_guided import run_rgb_guided_tile
+
+    H, W = 128, 160
+    K = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1.0]])
+    n = 3000
+    xy = rng.uniform(-4, 4, size=(n, 2))
+    z = np.sin(xy[:, 0] * 2) * 0.1 + np.cos(xy[:, 1] * 3) * 0.1
+    src = np.column_stack([xy[:, 0], xy[:, 1], z + 8.0])
+    shift = np.array([0.15, 0.0, 0.0])
+    tgt = src.copy()
+    tgt[src[:, 0] > 0] += shift
+    E = np.eye(4)
+    tex = rng.uniform(50, 255, size=n).astype(np.float32)
+
+    def render(pts):
+        uv, d, v = project_points(
+            pts.astype(np.float32), E.astype(np.float32),
+            K.astype(np.float32), (H, W), v_flip=False,
+        )
+        _, imap = rasterize_depth(uv, d, v, (H, W))
+        imap = np.asarray(imap)
+        img = np.zeros((H, W), np.float32)
+        img[imap >= 0] = tex[imap[imap >= 0]]
+        return img
+
+    img0, img1 = render(src), render(tgt)
+    corres = match_epoch_images(
+        img0, img1, matcher="zncc", grid_step=4, patch=12, search=10,
+        min_score=0.5, min_texture=1.0,
+    )
+    cfg = Config(
+        {
+            "image_size": [H, W], "pixel_thres": 4, "max_magnitude": 2.0,
+            "icp_threshold": 0.2, "n_normals": 15, "voxel_size": 0.0,
+            "dataset": "rockfall_simulator", "output_dir": str(tmp_path),
+            "output_folder": "run", "sv_cap": 256, "member_cap": 1024,
+        }
+    )
+    tiles = [(i, src, tgt) for i in range(8)]
+    res = run_rgb_guided_tiles_sharded(
+        cfg, tiles, img0, img1, K, E, E, corres_2d=corres,
+        mesh=tile_mesh(8),
+    )
+    got = res[3]["dvfs"]
+    assert res[3]["n_matches"] > 200
+
+    serial = run_rgb_guided_tile(
+        cfg, src, tgt, img0, img1, K, E, E, tile_id="s", corres_2d=corres
+    )
+    sv = serial["dvfs"]
+    assert got.shape[0] > 200 and sv.shape[0] > 200
+    # Same physics: moving region recovers the shift in both paths.
+    for dv in (got, sv):
+        disp = dv[:, 3:6] - dv[:, :3]
+        mov = dv[:, 0] > 0.5
+        if mov.sum() > 100:
+            np.testing.assert_allclose(
+                np.median(disp[mov], axis=0), shift, atol=0.05
+            )
+    assert abs(got.shape[0] - sv.shape[0]) < 0.2 * sv.shape[0]
