@@ -206,7 +206,7 @@ def match_epoch_images(
         search = int(kw.get("search", 32))
         if max_flow_px > search:
             kw["search"] = int(np.ceil(max_flow_px))
-    if max_flow_px is not None and not is_zncc and crop_size is not None:
+    if max_flow_px is not None and crop_size is not None:
         oh, ow = overlap_size or (crop_size[0] // 2, crop_size[1] // 2)
         if max_flow_px > min(oh, ow) / 2:
             cross_crops = True
@@ -239,10 +239,13 @@ def match_epoch_images(
     for y0 in ys:
         for x0 in xs:
             c0 = img0[y0 : y0 + ch, x0 : x0 + cw]
-            if cross_crops and not is_zncc:
+            if cross_crops:
                 # Reference cross-pairing (base:1125-1233), restricted to
                 # the 8-neighbour crops (full cross is quadratic and adds
-                # nothing within the max-flow bound).
+                # nothing within the max-flow bound). Works for ZNCC too:
+                # the per-pair crop offsets are added to the match
+                # coordinates below, so cross-position flows come out in
+                # full-image coordinates.
                 pairs = [
                     (y1, x1)
                     for y1 in ys
@@ -327,6 +330,10 @@ def _eloftr_matcher(img0, img1, *, params=None, weights=None, **_):
                 if osp.exists(cand):
                     weights = cand
                     break
+        elif not osp.exists(str(weights)):
+            raise FileNotFoundError(
+                f"eloftr matcher weights not found: {weights}"
+            )
         key = weights or "__random__"
         if key not in _ELOFTR_CACHE:
             if weights is not None:

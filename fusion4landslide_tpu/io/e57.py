@@ -62,6 +62,19 @@ def _crc32c(data: bytes) -> int:
     return int(crc ^ np.uint32(0xFFFFFFFF))
 
 
+def _crc32c_pages(pages: np.ndarray) -> np.ndarray:
+    """CRC-32C of every row of a (n_pages, _PAYLOAD) uint8 array at once.
+
+    Page checksums are independent, so the sequential byte recurrence runs
+    vectorized ACROSS pages: _PAYLOAD numpy steps total instead of a
+    Python-level loop over every byte of the file."""
+    crc = np.full(pages.shape[0], 0xFFFFFFFF, np.uint32)
+    table = _CRC_TABLE
+    for j in range(pages.shape[1]):
+        crc = table[(crc ^ pages[:, j]) & 0xFF] ^ (crc >> np.uint32(8))
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
 def _delogical(raw: bytes) -> bytes:
     """Strip the per-page CRC words: physical stream -> logical stream."""
     n_pages = -(-len(raw) // _PAGE)
@@ -232,12 +245,19 @@ def read_e57(path: str, scan_index: int = 0):
 
 
 def _paginate(logical: bytes) -> bytes:
-    out = bytearray()
-    for start in range(0, len(logical), _PAYLOAD):
-        payload = logical[start : start + _PAYLOAD]
-        payload = payload + b"\x00" * (_PAYLOAD - len(payload))
-        out += payload + struct.pack("<I", _crc32c(payload))
-    return bytes(out)
+    n_pages = -(-len(logical) // _PAYLOAD)
+    buf = np.zeros(n_pages * _PAYLOAD, np.uint8)
+    buf[: len(logical)] = np.frombuffer(logical, np.uint8)
+    pages = buf.reshape(n_pages, _PAYLOAD)
+    crcs = _crc32c_pages(pages)
+    out = np.zeros((n_pages, _PAGE), np.uint8)
+    out[:, :_PAYLOAD] = pages
+    out[:, _PAYLOAD:] = crcs.astype("<u4").view(np.uint8).reshape(n_pages, 4)
+    return out.tobytes()
+
+
+def _physical_length(logical_len: int) -> int:
+    return (-(-logical_len // _PAYLOAD)) * _PAGE
 
 
 def write_e57(path: str, points: np.ndarray, colors: np.ndarray | None = None):
@@ -322,28 +342,11 @@ def write_e57(path: str, points: np.ndarray, colors: np.ndarray | None = None):
         "<IIQQQQ",
         1,
         0,
-        _logical_to_phys(total_logical - 1) + 1,  # patched below
+        _physical_length(total_logical),
         _logical_to_phys(xml_log),
         len(xml),
         _PAGE,
     )
-    logical = header + section + xml
-    physical = _paginate(logical)
-    # Patch the physical length now that padding is known.
-    logical = (
-        _SIGNATURE
-        + struct.pack(
-            "<IIQQQQ",
-            1,
-            0,
-            len(physical),
-            _logical_to_phys(xml_log),
-            len(xml),
-            _PAGE,
-        )
-        + section
-        + xml
-    )
-    physical = _paginate(logical)
+    physical = _paginate(header + section + xml)
     with open(path, "wb") as fh:
         fh.write(physical)

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["PointCloud", "read_ply", "write_ply"]
+__all__ = ["PointCloud", "read_ply", "write_ply", "ply_vertex_count"]
 
 _PLY_TO_NP = {
     "char": "i1", "int8": "i1",
@@ -167,3 +167,20 @@ def write_ply(
             np.savetxt(f, np.column_stack(cols), fmt="%.8g")
         else:
             f.write(data.tobytes())
+
+
+def ply_vertex_count(path: str) -> int:
+    """Vertex count from the PLY header alone (no point data read) — used
+    to size padded tile buckets before streaming tiles through the mesh."""
+    with open(path, "rb") as fh:
+        if fh.readline().strip() != b"ply":
+            raise ValueError(f"{path} is not a PLY file")
+        for _ in range(200):
+            line = fh.readline()
+            if not line:
+                break
+            if line.startswith(b"element vertex"):
+                return int(line.split()[2])
+            if line.strip() == b"end_header":
+                break
+    raise ValueError(f"{path}: no 'element vertex' in header")

@@ -18,6 +18,7 @@ tables (identical artifact contract to the serial path).
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,35 @@ __all__ = [
     "make_sharded_rgb_guided_step",
     "run_rgb_guided_tiles_sharded",
 ]
+
+
+def _iter_padded_batches(tiles, n_dev: int, N: int, M: int):
+    """Consume (tile_id, src, tgt) entries — list or lazy iterator — in
+    device-count batches, padded/stacked to (T, N, 3)/(T, M, 3) with masks
+    and per-tile centres. Short batches repeat their last tile (results for
+    the repeats are never read back). Shared by all four sharded runners."""
+    it = iter(tiles)
+    while True:
+        batch = list(itertools.islice(it, n_dev))
+        if not batch:
+            return
+        T = n_dev
+        src_b = np.zeros((T, N, 3), np.float32)
+        smask_b = np.zeros((T, N), bool)
+        tgt_b = np.zeros((T, M, 3), np.float32)
+        tmask_b = np.zeros((T, M), bool)
+        centers = np.zeros((T, 3), np.float32)
+        for i in range(T):
+            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
+            center = src.mean(axis=0)
+            centers[i] = center
+            s = (src - center).astype(np.float32)
+            t = (tgt - center).astype(np.float32)
+            src_b[i, : s.shape[0]] = s
+            smask_b[i, : s.shape[0]] = True
+            tgt_b[i, : t.shape[0]] = t
+            tmask_b[i, : t.shape[0]] = True
+        yield batch, src_b, smask_b, tgt_b, tmask_b, centers
 
 
 def make_sharded_f2s3_step(mesh, dips_params, filt_params, **statics):
@@ -78,11 +108,16 @@ def run_f2s3_tiles_sharded(
     logger=None,
     rng_seed: int = 0,
     mesh=None,
+    n_bucket: int | None = None,
+    m_bucket: int | None = None,
 ) -> dict:
     """Process an epoch pair's tiles data-parallel over the device mesh.
 
     Args:
-        tiles: list of (tile_id, src_points (n,3), tgt_points (m,3)).
+        tiles: (tile_id, src_points (n,3), tgt_points (m,3)) entries — a
+            list, or a lazy iterator when ``n_bucket``/``m_bucket`` give the
+            padded sizes up front (streaming keeps only one batch of tiles
+            in host memory).
 
     Writes the same per-tile result tables as the serial
     ``pipelines.f2s3.run_f2s3_tile`` path and returns
@@ -94,14 +129,19 @@ def run_f2s3_tiles_sharded(
     from fusion4landslide_tpu.ops.segments import bucket_size
     from fusion4landslide_tpu.pipelines.f2s3 import write_f2s3_outputs
 
-    if not tiles:
-        return {}
     mesh = mesh or tile_mesh()
     n_dev = mesh.devices.size
 
-    # Common padded shapes across the whole epoch: one compile.
-    N = bucket_size(max(t[1].shape[0] for t in tiles))
-    M = bucket_size(max(t[2].shape[0] for t in tiles))
+    # Common padded shapes across the whole epoch: one compile. A lazy tile
+    # iterator needs explicit bucket bounds (drivers read them from the PLY
+    # headers); a list is scanned directly.
+    if n_bucket is None or m_bucket is None:
+        tiles = list(tiles)
+        if not tiles:
+            return {}
+        n_bucket = bucket_size(max(t[1].shape[0] for t in tiles))
+        m_bucket = bucket_size(max(t[2].shape[0] for t in tiles))
+    N, M = n_bucket, m_bucket
     chunk = min(int(cfg.get("feat_chunk", 2048)), N)
     sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
     member_cap = int(cfg.get("member_cap", 0)) or 1024
@@ -131,24 +171,10 @@ def run_f2s3_tiles_sharded(
 
     results: dict = {}
     key = jax.random.PRNGKey(rng_seed)
-    for start in range(0, len(tiles), n_dev):
-        batch = tiles[start : start + n_dev]
-        T = n_dev  # pad the batch by repeating the last tile (ignored)
-        src_b = np.zeros((T, N, 3), np.float32)
-        smask_b = np.zeros((T, N), bool)
-        tgt_b = np.zeros((T, M, 3), np.float32)
-        tmask_b = np.zeros((T, M), bool)
-        centers = []
-        for i in range(T):
-            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
-            center = src.mean(axis=0)
-            centers.append(center)
-            s = (src - center).astype(np.float32)
-            t = (tgt - center).astype(np.float32)
-            src_b[i, : s.shape[0]] = s
-            smask_b[i, : s.shape[0]] = True
-            tgt_b[i, : t.shape[0]] = t
-            tmask_b[i, : t.shape[0]] = True
+    for batch, src_b, smask_b, tgt_b, tmask_b, centers in _iter_padded_batches(
+        tiles, n_dev, N, M
+    ):
+        T = n_dev
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, T)
         out = step(
@@ -221,16 +247,20 @@ def make_sharded_fusion3d_step(mesh, dips_params, agg_params, **statics):
     """
     per_tile = functools.partial(fusion3d_tile_step, **statics)
 
-    def local(src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit):
+    def local(
+        src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit,
+        num_min_fine, num_min_quality, thres_dd, thres_ir,
+    ):
         return jax.lax.map(
             lambda a: per_tile(dips_params, agg_params, *a),
-            (src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit),
+            (src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit,
+             num_min_fine, num_min_quality, thres_dd, thres_ir),
         )
 
     sharded = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("tiles"),) * 8,
+        in_specs=(P("tiles"),) * 12,
         out_specs=P("tiles"),
         check_vma=False,
     )
@@ -246,6 +276,8 @@ def run_fusion3d_tiles_sharded(
     logger=None,
     rng_seed: int = 0,
     mesh=None,
+    n_bucket: int | None = None,
+    m_bucket: int | None = None,
 ) -> dict:
     """Process a fusion_3d epoch pair's tiles data-parallel over the mesh.
 
@@ -265,13 +297,21 @@ def run_fusion3d_tiles_sharded(
     )
     from fusion4landslide_tpu.ops.segments import bucket_size
 
-    if not tiles:
-        return {}
+    if str(cfg.get("partition_type", "supervoxel")) == "superpoint" and logger:
+        logger.warning(
+            "partition_type=superpoint is host-path only; the sharded step "
+            "partitions with multi-level supervoxels"
+        )
     mesh = mesh or tile_mesh()
     n_dev = mesh.devices.size
 
-    N = bucket_size(max(t[1].shape[0] for t in tiles))
-    M = bucket_size(max(t[2].shape[0] for t in tiles))
+    if n_bucket is None or m_bucket is None:
+        tiles = list(tiles)
+        if not tiles:
+            return {}
+        n_bucket = bucket_size(max(t[1].shape[0] for t in tiles))
+        m_bucket = bucket_size(max(t[2].shape[0] for t in tiles))
+    N, M = n_bucket, m_bucket
     sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
     member_cap = int(cfg.get("member_cap", 0)) or 512
     statics = dict(
@@ -301,35 +341,29 @@ def run_fusion3d_tiles_sharded(
 
     results: dict = {}
     key = jax.random.PRNGKey(rng_seed)
-    for start in range(0, len(tiles), n_dev):
-        batch = tiles[start : start + n_dev]
+    for batch, src_b, smask_b, tgt_b, tmask_b, centers in _iter_padded_batches(
+        tiles, n_dev, N, M
+    ):
         T = n_dev
-        src_b = np.zeros((T, N, 3), np.float32)
-        smask_b = np.zeros((T, N), bool)
-        tgt_b = np.zeros((T, M, 3), np.float32)
-        tmask_b = np.zeros((T, M), bool)
-        centers = []
-        for i in range(T):
-            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
-            center = src.mean(axis=0)
-            centers.append(center)
-            s = (src - center).astype(np.float32)
-            t = (tgt - center).astype(np.float32)
-            src_b[i, : s.shape[0]] = s
-            smask_b[i, : s.shape[0]] = True
-            tgt_b[i, : t.shape[0]] = t
-            tmask_b[i, : t.shape[0]] = True
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, T)
+        scal = lambda v, dt=jnp.float32: jnp.full((T,), v, dt)
         out = step(
             jnp.asarray(src_b),
             jnp.asarray(smask_b),
             jnp.asarray(tgt_b),
             jnp.asarray(tmask_b),
             keys,
-            jnp.full((T,), max_mag, jnp.float32),
-            jnp.full((T,), icp_thr, jnp.float32),
-            jnp.full((T,), vinit, jnp.float32),
+            scal(max_mag),
+            scal(icp_thr),
+            scal(vinit),
+            scal(int(cfg.get("num_min_fine_match", 10)), jnp.int32),
+            scal(
+                int(cfg.get("num_min_matches_for_quality_check", 10)),
+                jnp.int32,
+            ),
+            scal(float(cfg.get("thres_dist_diff", 0.5))),
+            scal(float(cfg.get("thres_inlier_ratio", 0.15))),
         )
         out = jax.device_get(out)
 
@@ -457,13 +491,16 @@ def run_piecewise_tiles_sharded(
     from fusion4landslide_tpu.ops.segments import bucket_size
     from fusion4landslide_tpu.pipelines.piecewise_icp import suggest_max_cells
 
-    if not tiles:
-        return {}
     mesh = mesh or tile_mesh()
     n_dev = mesh.devices.size
     smax = float(cfg.get("smax", 5.0))
     n_min = int(cfg.get("number_points_min", 10))
 
+    # Cell-count bound needs the extent; a lazy iterator cannot be scanned,
+    # so require a list here (piecewise tiles are cheap to hold).
+    tiles = list(tiles)
+    if not tiles:
+        return {}
     N = bucket_size(max(t[1].shape[0] for t in tiles))
     M = bucket_size(max(t[2].shape[0] for t in tiles))
     ext = max(
@@ -479,24 +516,10 @@ def run_piecewise_tiles_sharded(
     os.makedirs(results_dir, exist_ok=True)
 
     results: dict = {}
-    for start in range(0, len(tiles), n_dev):
-        batch = tiles[start : start + n_dev]
+    for batch, src_b, smask_b, tgt_b, tmask_b, centers in _iter_padded_batches(
+        tiles, n_dev, N, M
+    ):
         T = n_dev
-        src_b = np.zeros((T, N, 3), np.float32)
-        smask_b = np.zeros((T, N), bool)
-        tgt_b = np.zeros((T, M, 3), np.float32)
-        tmask_b = np.zeros((T, M), bool)
-        centers = []
-        for i in range(T):
-            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
-            center = src.mean(axis=0)
-            centers.append(center)
-            s = (src - center).astype(np.float32)
-            t = (tgt - center).astype(np.float32)
-            src_b[i, : s.shape[0]] = s
-            smask_b[i, : s.shape[0]] = True
-            tgt_b[i, : t.shape[0]] = t
-            tmask_b[i, : t.shape[0]] = True
         out = step(
             jnp.asarray(src_b),
             jnp.asarray(smask_b),
@@ -587,6 +610,8 @@ def run_rgb_guided_tiles_sharded(
     corres_2d=None,
     logger=None,
     mesh=None,
+    n_bucket: int | None = None,
+    m_bucket: int | None = None,
 ) -> dict:
     """RGB-guided estimation over an epoch pair's tiles on the mesh.
 
@@ -605,10 +630,15 @@ def run_rgb_guided_tiles_sharded(
     )
     from fusion4landslide_tpu.ops.segments import bucket_size
 
-    if not tiles:
-        return {}
     mesh = mesh or tile_mesh()
     n_dev = mesh.devices.size
+
+    if n_bucket is None or m_bucket is None:
+        tiles = list(tiles)
+        if not tiles:
+            return {}
+        n_bucket = bucket_size(max(t[1].shape[0] for t in tiles))
+        m_bucket = bucket_size(max(t[2].shape[0] for t in tiles))
 
     if corres_2d is None:
         corres_2d = match_epoch_images(
@@ -632,8 +662,7 @@ def run_rgb_guided_tiles_sharded(
 
     image_size = tuple(cfg.get("image_size") or src_image.shape[:2])
     v_flip = str(cfg.get("dataset", "")).lower() != "rockfall_simulator"
-    N = bucket_size(max(t[1].shape[0] for t in tiles))
-    M = bucket_size(max(t[2].shape[0] for t in tiles))
+    N, M = n_bucket, m_bucket
     sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
     member_cap = int(cfg.get("member_cap", 0)) or 1024
     mode = str(cfg.get("matches_from_2d_type", "nn_src_only"))
@@ -661,24 +690,10 @@ def run_rgb_guided_tiles_sharded(
     voxel = float(cfg.get("voxel_size", 0.0) or 0.0)
 
     results: dict = {}
-    for start in range(0, len(tiles), n_dev):
-        batch = tiles[start : start + n_dev]
+    for batch, src_b, smask_b, tgt_b, tmask_b, centers in _iter_padded_batches(
+        tiles, n_dev, N, M
+    ):
         T = n_dev
-        src_b = np.zeros((T, N, 3), np.float32)
-        smask_b = np.zeros((T, N), bool)
-        tgt_b = np.zeros((T, M, 3), np.float32)
-        tmask_b = np.zeros((T, M), bool)
-        centers = np.zeros((T, 3), np.float32)
-        for i in range(T):
-            tile_id, src, tgt = batch[min(i, len(batch) - 1)]
-            center = src.mean(axis=0)
-            centers[i] = center
-            s = (src - center).astype(np.float32)
-            t = (tgt - center).astype(np.float32)
-            src_b[i, : s.shape[0]] = s
-            smask_b[i, : s.shape[0]] = True
-            tgt_b[i, : t.shape[0]] = t
-            tmask_b[i, : t.shape[0]] = True
         scal = lambda v: jnp.full((T,), v, jnp.float32)
         out = step(
             jnp.asarray(src_b), jnp.asarray(smask_b),

@@ -185,3 +185,15 @@ def iter_tile_clouds(tiles, *, prefetch: int = 2):
                 futures.append(pool.submit(load, tiles[nxt]))
                 nxt += 1
             yield result
+
+
+def tile_size_buckets(tiles) -> tuple[int, int]:
+    """(src_bucket, tgt_bucket) padded sizes for a tile list, read from the
+    PLY headers only — lets the sharded runners stream tiles lazily instead
+    of materialising every cloud up front."""
+    from fusion4landslide_tpu.io.ply import ply_vertex_count
+    from fusion4landslide_tpu.ops.segments import bucket_size
+
+    n = max(ply_vertex_count(sp) for _, sp, _ in tiles)
+    m = max(ply_vertex_count(tp) for _, _, tp in tiles)
+    return bucket_size(n), bucket_size(m)

@@ -622,16 +622,26 @@ def _fusion_tile_core(
 
         pair_channels = []
         n_px_total = 0
+        # Projections depend only on their own image's extrinsic — compute
+        # each once, outside the cross-pair loop.
+        src_projs = [
+            project_points(
+                jnp.asarray(src_vox + center.astype(np.float32)),
+                jnp.asarray(sext), K_j, image_size, v_flip=v_flip,
+            )
+            for sext in src_exts
+        ]
+        tgt_projs = [
+            project_points(
+                jnp.asarray(tgt_vox + center.astype(np.float32)),
+                jnp.asarray(text), K_j, image_size, v_flip=v_flip,
+            )
+            for text in tgt_exts
+        ]
         for a, (simg, sext) in enumerate(zip(src_images, src_exts)):
             for b, (timg, text) in enumerate(zip(tgt_images, tgt_exts)):
-                uv_s, dep_s, pval_s = project_points(
-                    jnp.asarray(src_vox + center.astype(np.float32)),
-                    jnp.asarray(sext), K_j, image_size, v_flip=v_flip,
-                )
-                uv_t, dep_t, pval_t = project_points(
-                    jnp.asarray(tgt_vox + center.astype(np.float32)),
-                    jnp.asarray(text), K_j, image_size, v_flip=v_flip,
-                )
+                uv_s, dep_s, pval_s = src_projs[a]
+                uv_t, dep_t, pval_t = tgt_projs[b]
                 if corres_pre is not None and single_pair:
                     corres_2d = corres_pre
                 else:
@@ -652,6 +662,7 @@ def _fusion_tile_core(
                         ),
                         max_flow_px=cfg.get("max_flow_px"),
                         logger=logger,
+                        weights=cfg.get("img_matcher_weights"),
                     )
                 n_px_total += len(corres_2d)
                 if not len(corres_2d):
@@ -843,213 +854,208 @@ def _fusion_tile_core(
 
     for level in levels:
         _log(f"tile {tile_id}: stage partition level {level}")
-        ctx = timer.stage(f"partition_l{level}")
-        ctx.__enter__()
-        if use_spt_files:
-            _, pt_lab_s = read_superpoint_partition(spt_src_path, int(level))
-            _, pt_lab_t = read_superpoint_partition(spt_tgt_path, int(level))
-            raw_s = pt_lab_s[first_pt_of_vox_s]
-            raw_t = pt_lab_t[first_pt_of_vox_t]
-        else:
-            svl_radius = base_svl_radius * (2.0 ** (int(level) - 1))
-            seg_s = _segment("src", src_vox, svl_radius)
-            seg_t = _segment("tgt", tgt_vox, svl_radius)
-            raw_s = np.asarray(seg_s.labels)
-            raw_t = np.asarray(seg_t.labels)
-        lab_s, n_s = _compact_labels(raw_s, small_patch)
-        lab_t, n_t = _compact_labels(raw_t, small_patch)
-        ctx.__exit__(None, None, None)
+        with timer.stage(f"partition_l{level}"):
+            if use_spt_files:
+                _, pt_lab_s = read_superpoint_partition(spt_src_path, int(level))
+                _, pt_lab_t = read_superpoint_partition(spt_tgt_path, int(level))
+                raw_s = pt_lab_s[first_pt_of_vox_s]
+                raw_t = pt_lab_t[first_pt_of_vox_t]
+            else:
+                svl_radius = base_svl_radius * (2.0 ** (int(level) - 1))
+                seg_s = _segment("src", src_vox, svl_radius)
+                seg_t = _segment("tgt", tgt_vox, svl_radius)
+                raw_s = np.asarray(seg_s.labels)
+                raw_t = np.asarray(seg_t.labels)
+            lab_s, n_s = _compact_labels(raw_s, small_patch)
+            lab_t, n_t = _compact_labels(raw_t, small_patch)
         _log(f"tile {tile_id}: stage coarse+fine level {level}")
-        ctx = timer.stage(f"match_l{level}")
-        ctx.__enter__()
-        if n_s == 0 or n_t == 0:
-            per_level_stats.append((level, 0, 0))
-            ctx.__exit__(None, None, None)
-            continue
+        mctx = timer.stage(f"match_l{level}")
+        with mctx:
+            if n_s == 0 or n_t == 0:
+                per_level_stats.append((level, 0, 0))
+                continue
 
-        S_s, S_t = bucket_size(n_s), bucket_size(n_t)
-        cnt_s = np.bincount(lab_s[lab_s >= 0], minlength=n_s)
-        cnt_t = np.bincount(lab_t[lab_t >= 0], minlength=n_t)
-        P_s = bucket_size(int(cnt_s.max()))
-        P_t = bucket_size(int(cnt_t.max()))
-        mem_s, memmask_s = label_members(jnp.asarray(lab_s), S_s, P_s)
-        mem_t, memmask_t = label_members(jnp.asarray(lab_t), S_t, P_t)
+            S_s, S_t = bucket_size(n_s), bucket_size(n_t)
+            cnt_s = np.bincount(lab_s[lab_s >= 0], minlength=n_s)
+            cnt_t = np.bincount(lab_t[lab_t >= 0], minlength=n_t)
+            P_s = bucket_size(int(cnt_s.max()))
+            P_t = bucket_size(int(cnt_t.max()))
+            mem_s, memmask_s = label_members(jnp.asarray(lab_s), S_s, P_s)
+            mem_t, memmask_t = label_members(jnp.asarray(lab_t), S_t, P_t)
 
-        # --- 5. Superpoint aggregation (base:2561-2656) + coarse matching.
-        # Self-attention is quadratic in patch size; large superpoints are
-        # represented by a strided member subsample (<= agg_max_points) and
-        # the apply is chunked over superpoints to bound the (c, P, P)
-        # score tensor (the reference bounds this by aggregating over
-        # voxel-subsampled patches, feature_aggregation/...:80-83).
-        P_agg = min(int(cfg.get("agg_max_points", 512)), P_s, P_t)
+            # --- 5. Superpoint aggregation (base:2561-2656) + coarse matching.
+            # Self-attention is quadratic in patch size; large superpoints are
+            # represented by a strided member subsample (<= agg_max_points) and
+            # the apply is chunked over superpoints to bound the (c, P, P)
+            # score tensor (the reference bounds this by aggregating over
+            # voxel-subsampled patches, feature_aggregation/...:80-83).
+            P_agg = min(int(cfg.get("agg_max_points", 512)), P_s, P_t)
 
-        def _agg(feat_arr, mem, mmask, P_full):
-            if P_full > P_agg:
-                stride = -(-P_full // P_agg)
-                mem = mem[:, ::stride][:, :P_agg]
-                mmask = mmask[:, ::stride][:, :P_agg]
-            feats = jnp.take(feat_arr, mem, axis=0) * mmask[..., None]
-            S = feats.shape[0]
-            c = min(256, S)
-            pad_s = (-S) % c
-            fp = jnp.pad(feats, ((0, pad_s), (0, 0), (0, 0)))
-            mp = jnp.pad(mmask, ((0, pad_s), (0, 0)))
-            out = jax.lax.map(
-                lambda args: agg_model.apply(agg_params, *args),
-                (
-                    fp.reshape(-1, c, *fp.shape[1:]),
-                    mp.reshape(-1, c, mp.shape[1]),
-                ),
+            def _agg(feat_arr, mem, mmask, P_full):
+                if P_full > P_agg:
+                    stride = -(-P_full // P_agg)
+                    mem = mem[:, ::stride][:, :P_agg]
+                    mmask = mmask[:, ::stride][:, :P_agg]
+                feats = jnp.take(feat_arr, mem, axis=0) * mmask[..., None]
+                S = feats.shape[0]
+                c = min(256, S)
+                pad_s = (-S) % c
+                fp = jnp.pad(feats, ((0, pad_s), (0, 0), (0, 0)))
+                mp = jnp.pad(mmask, ((0, pad_s), (0, 0)))
+                out = jax.lax.map(
+                    lambda args: agg_model.apply(agg_params, *args),
+                    (
+                        fp.reshape(-1, c, *fp.shape[1:]),
+                        mp.reshape(-1, c, mp.shape[1]),
+                    ),
+                )
+                return out.reshape(-1, out.shape[-1])[:S]
+
+            spt_feat_s = _agg(jnp.asarray(src_feat), mem_s, memmask_s, P_s)
+            spt_feat_t = _agg(jnp.asarray(tgt_feat), mem_t, memmask_t, P_t)
+            w_s = memmask_s.astype(jnp.float32)[..., None]
+            spt_coord_s = jnp.sum(
+                jnp.take(jnp.asarray(src_vox), mem_s, axis=0) * w_s, axis=1
+            ) / jnp.maximum(jnp.sum(w_s, axis=1), 1.0)
+            w_t = memmask_t.astype(jnp.float32)[..., None]
+            spt_coord_t = jnp.sum(
+                jnp.take(jnp.asarray(tgt_vox), mem_t, axis=0) * w_t, axis=1
+            ) / jnp.maximum(jnp.sum(w_t, axis=1), 1.0)
+            valid_s = jnp.arange(S_s) < n_s
+            valid_t = jnp.arange(S_t) < n_t
+            # Coarse mode (reference config coarse_matching_{fusion,only_3d,
+            # only_2d}; fusion is the default for the RGB+3D method).
+            has_2d = c2d_idx is not None
+            coarse_only_2d = bool(cfg.get("coarse_matching_only_2d", False)) and has_2d
+            coarse_fusion = (
+                bool(cfg.get("coarse_matching_fusion", has_2d))
+                and has_2d
+                and not coarse_only_2d
             )
-            return out.reshape(-1, out.shape[-1])[:S]
-
-        spt_feat_s = _agg(jnp.asarray(src_feat), mem_s, memmask_s, P_s)
-        spt_feat_t = _agg(jnp.asarray(tgt_feat), mem_t, memmask_t, P_t)
-        w_s = memmask_s.astype(jnp.float32)[..., None]
-        spt_coord_s = jnp.sum(
-            jnp.take(jnp.asarray(src_vox), mem_s, axis=0) * w_s, axis=1
-        ) / jnp.maximum(jnp.sum(w_s, axis=1), 1.0)
-        w_t = memmask_t.astype(jnp.float32)[..., None]
-        spt_coord_t = jnp.sum(
-            jnp.take(jnp.asarray(tgt_vox), mem_t, axis=0) * w_t, axis=1
-        ) / jnp.maximum(jnp.sum(w_t, axis=1), 1.0)
-        valid_s = jnp.arange(S_s) < n_s
-        valid_t = jnp.arange(S_t) < n_t
-        # Coarse mode (reference config coarse_matching_{fusion,only_3d,
-        # only_2d}; fusion is the default for the RGB+3D method).
-        has_2d = c2d_idx is not None
-        coarse_only_2d = bool(cfg.get("coarse_matching_only_2d", False)) and has_2d
-        coarse_fusion = (
-            bool(cfg.get("coarse_matching_fusion", has_2d))
-            and has_2d
-            and not coarse_only_2d
-        )
-        pair_list = []
-        if not coarse_only_2d:
-            tgt_of_src, pair_valid = coarse_match_superpoints(
-                spt_feat_s, spt_coord_s, valid_s,
-                spt_feat_t, spt_coord_t, valid_t,
-                max_mag,
+            pair_list = []
+            if not coarse_only_2d:
+                tgt_of_src, pair_valid = coarse_match_superpoints(
+                    spt_feat_s, spt_coord_s, valid_s,
+                    spt_feat_t, spt_coord_t, valid_t,
+                    max_mag,
+                )
+                tgt_of_src = np.asarray(tgt_of_src)
+                pair_valid = np.asarray(pair_valid)
+                src_3d = np.where(pair_valid[:n_s])[0]
+                pair_list.append(np.stack([src_3d, tgt_of_src[src_3d]], axis=1))
+            if coarse_fusion or coarse_only_2d:
+                vote_tgt, vote_ok = coarse_match_2d_votes(
+                    lab_s, lab_t, c2d_idx, c2d_valid, n_s, n_t
+                )
+                src_2d = np.where(vote_ok)[0]
+                pair_list.append(np.stack([src_2d, vote_tgt[src_2d]], axis=1))
+            pairs = (
+                np.unique(np.concatenate(pair_list, axis=0), axis=0)
+                if pair_list
+                else np.zeros((0, 2), np.int64)
             )
-            tgt_of_src = np.asarray(tgt_of_src)
-            pair_valid = np.asarray(pair_valid)
-            src_3d = np.where(pair_valid[:n_s])[0]
-            pair_list.append(np.stack([src_3d, tgt_of_src[src_3d]], axis=1))
-        if coarse_fusion or coarse_only_2d:
-            vote_tgt, vote_ok = coarse_match_2d_votes(
-                lab_s, lab_t, c2d_idx, c2d_valid, n_s, n_t
+
+            # --- 6. Fine matching over valid pairs.
+            pair_src = pairs[:, 0]
+            if pair_src.size == 0:
+                per_level_stats.append((level, n_s, 0))
+                continue
+            pair_tgt = pairs[:, 1]
+            fine_only_2d = bool(cfg.get("fine_matching_only_2d", False)) and has_2d
+            fine_fusion = (
+                bool(cfg.get("fine_matching_fusion", has_2d))
+                and has_2d
+                and not fine_only_2d
             )
-            src_2d = np.where(vote_ok)[0]
-            pair_list.append(np.stack([src_2d, vote_tgt[src_2d]], axis=1))
-        pairs = (
-            np.unique(np.concatenate(pair_list, axis=0), axis=0)
-            if pair_list
-            else np.zeros((0, 2), np.int64)
-        )
-
-        # --- 6. Fine matching over valid pairs.
-        pair_src = pairs[:, 0]
-        if pair_src.size == 0:
-            per_level_stats.append((level, n_s, 0))
-            ctx.__exit__(None, None, None)
-            continue
-        pair_tgt = pairs[:, 1]
-        fine_only_2d = bool(cfg.get("fine_matching_only_2d", False)) and has_2d
-        fine_fusion = (
-            bool(cfg.get("fine_matching_fusion", has_2d))
-            and has_2d
-            and not fine_only_2d
-        )
-        if fine_only_2d:
-            ch1_idx, ch1_valid = c2d_idx, c2d_valid
-        else:
-            ch1_idx, ch1_valid = g_idx, g_valid
-        fine_kw = {}
-        if fine_fusion:
-            fine_kw = dict(
-                corres2_tgt_idx=jnp.asarray(c2d_idx, jnp.int32),
-                corres2_valid=jnp.asarray(c2d_valid),
-                weighting=bool(cfg.get("weighting_svd", False)),
+            if fine_only_2d:
+                ch1_idx, ch1_valid = c2d_idx, c2d_valid
+            else:
+                ch1_idx, ch1_valid = g_idx, g_valid
+            fine_kw = {}
+            if fine_fusion:
+                fine_kw = dict(
+                    corres2_tgt_idx=jnp.asarray(c2d_idx, jnp.int32),
+                    corres2_valid=jnp.asarray(c2d_valid),
+                    weighting=bool(cfg.get("weighting_svd", False)),
+                )
+            # Bucket the pair count so the jitted fine matcher compiles once
+            # per bucket instead of once per distinct pair count.
+            n_pairs = pair_src.size
+            pairs_cap = bucket_size(n_pairs)
+            pair_src_b = np.zeros(pairs_cap, np.int64)
+            pair_src_b[:n_pairs] = pair_src
+            pair_tgt_b = np.full(pairs_cap, -1, np.int64)
+            pair_tgt_b[:n_pairs] = pair_tgt
+            memmask_pad = jnp.take(memmask_s, jnp.asarray(pair_src_b), axis=0)
+            memmask_pad = memmask_pad & (
+                jnp.arange(pairs_cap) < n_pairs
+            )[:, None]
+            fine = fine_match_pairs(
+                jnp.take(mem_s, jnp.asarray(pair_src_b), axis=0),
+                memmask_pad,
+                jnp.asarray(pair_tgt_b, jnp.int32),
+                jnp.asarray(ch1_idx, jnp.int32),
+                jnp.asarray(ch1_valid),
+                jnp.asarray(lab_t, jnp.int32),
+                jnp.asarray(src_vox),
+                jnp.asarray(tgt_vox),
+                num_min_quality=num_min_quality,
+                thres_dist_diff=thres_dd,
+                thres_inlier_ratio=thres_ir,
+                num_min_fine=num_min_fine,
+                icp_threshold=icp_thr,
+                **fine_kw,
             )
-        # Bucket the pair count so the jitted fine matcher compiles once
-        # per bucket instead of once per distinct pair count.
-        n_pairs = pair_src.size
-        pairs_cap = bucket_size(n_pairs)
-        pair_src_b = np.zeros(pairs_cap, np.int64)
-        pair_src_b[:n_pairs] = pair_src
-        pair_tgt_b = np.full(pairs_cap, -1, np.int64)
-        pair_tgt_b[:n_pairs] = pair_tgt
-        memmask_pad = jnp.take(memmask_s, jnp.asarray(pair_src_b), axis=0)
-        memmask_pad = memmask_pad & (
-            jnp.arange(pairs_cap) < n_pairs
-        )[:, None]
-        fine = fine_match_pairs(
-            jnp.take(mem_s, jnp.asarray(pair_src_b), axis=0),
-            memmask_pad,
-            jnp.asarray(pair_tgt_b, jnp.int32),
-            jnp.asarray(ch1_idx, jnp.int32),
-            jnp.asarray(ch1_valid),
-            jnp.asarray(lab_t, jnp.int32),
-            jnp.asarray(src_vox),
-            jnp.asarray(tgt_vox),
-            num_min_quality=num_min_quality,
-            thres_dist_diff=thres_dd,
-            thres_inlier_ratio=thres_ir,
-            num_min_fine=num_min_fine,
-            icp_threshold=icp_thr,
-            **fine_kw,
-        )
-        fR = np.asarray(fine.R)[:n_pairs]
-        ft = np.asarray(fine.t)[:n_pairs]
-        frmse = np.asarray(fine.rmse)[:n_pairs]
-        fvalid = np.asarray(fine.valid)[:n_pairs]
+            fR = np.asarray(fine.R)[:n_pairs]
+            ft = np.asarray(fine.t)[:n_pairs]
+            frmse = np.asarray(fine.rmse)[:n_pairs]
+            fvalid = np.asarray(fine.valid)[:n_pairs]
 
-        # Map per-pair transforms to per-src-label slots.
-        lab_R = np.tile(np.eye(3, dtype=np.float32), (n_s, 1, 1))
-        lab_t_arr = np.zeros((n_s, 3), np.float32)
-        lab_rmse = np.zeros(n_s, np.float32)
-        lab_ok = np.zeros(n_s, bool)
-        lab_R[pair_src] = fR
-        lab_t_arr[pair_src] = ft
-        lab_rmse[pair_src] = frmse
-        lab_ok[pair_src] = fvalid
+            # Map per-pair transforms to per-src-label slots.
+            lab_R = np.tile(np.eye(3, dtype=np.float32), (n_s, 1, 1))
+            lab_t_arr = np.zeros((n_s, 3), np.float32)
+            lab_rmse = np.zeros(n_s, np.float32)
+            lab_ok = np.zeros(n_s, bool)
+            lab_R[pair_src] = fR
+            lab_t_arr[pair_src] = ft
+            lab_rmse[pair_src] = frmse
+            lab_ok[pair_src] = fvalid
 
-        # --- 7. Dense per-point assignment, merged by level priority.
-        pt_label = np.where(
-            (s_p2v < s_nv), lab_s[np.clip(s_p2v, 0, max(s_nv - 1, 0))], -1
-        )
-        pt_has = (pt_label >= 0) & lab_ok[np.clip(pt_label, 0, None)]
-        take = pt_has & ~merged_valid
-        lbl = np.clip(pt_label, 0, None)
-        merged_R[take] = lab_R[lbl[take]]
-        merged_t[take] = lab_t_arr[lbl[take]]
-        merged_rmse[take] = lab_rmse[lbl[take]]
-        merged_valid |= take
-
-        if out_tgt2src:
-            # Per-pair inverse transform onto the target patch's points
-            # (base:3386-3393), merged across levels by the same priority.
-            Rinv = fR.transpose(0, 2, 1)
-            tinv = -np.einsum("nij,nj->ni", Rinv, ft)
-            tlab_R = np.tile(np.eye(3, dtype=np.float32), (n_t, 1, 1))
-            tlab_t = np.zeros((n_t, 3), np.float32)
-            tlab_ok = np.zeros(n_t, bool)
-            sel = fvalid
-            tlab_R[pair_tgt[sel]] = Rinv[sel]
-            tlab_t[pair_tgt[sel]] = tinv[sel]
-            tlab_ok[pair_tgt[sel]] = True
-            tp_label = np.where(
-                t_p2v < t_nv, lab_t[np.clip(t_p2v, 0, max(t_nv - 1, 0))], -1
+            # --- 7. Dense per-point assignment, merged by level priority.
+            pt_label = np.where(
+                (s_p2v < s_nv), lab_s[np.clip(s_p2v, 0, max(s_nv - 1, 0))], -1
             )
-            tp_has = (tp_label >= 0) & tlab_ok[np.clip(tp_label, 0, None)]
-            ttake = tp_has & ~t2s_valid
-            tl = np.clip(tp_label, 0, None)
-            t2s_R[ttake] = tlab_R[tl[ttake]]
-            t2s_t[ttake] = tlab_t[tl[ttake]]
-            t2s_valid |= ttake
+            pt_has = (pt_label >= 0) & lab_ok[np.clip(pt_label, 0, None)]
+            take = pt_has & ~merged_valid
+            lbl = np.clip(pt_label, 0, None)
+            merged_R[take] = lab_R[lbl[take]]
+            merged_t[take] = lab_t_arr[lbl[take]]
+            merged_rmse[take] = lab_rmse[lbl[take]]
+            merged_valid |= take
 
-        per_level_stats.append((level, n_s, int(fvalid.sum())))
-        ctx.__exit__(None, None, None)
+            if out_tgt2src:
+                # Per-pair inverse transform onto the target patch's points
+                # (base:3386-3393), merged across levels by the same priority.
+                Rinv = fR.transpose(0, 2, 1)
+                tinv = -np.einsum("nij,nj->ni", Rinv, ft)
+                tlab_R = np.tile(np.eye(3, dtype=np.float32), (n_t, 1, 1))
+                tlab_t = np.zeros((n_t, 3), np.float32)
+                tlab_ok = np.zeros(n_t, bool)
+                sel = fvalid
+                tlab_R[pair_tgt[sel]] = Rinv[sel]
+                tlab_t[pair_tgt[sel]] = tinv[sel]
+                tlab_ok[pair_tgt[sel]] = True
+                tp_label = np.where(
+                    t_p2v < t_nv, lab_t[np.clip(t_p2v, 0, max(t_nv - 1, 0))], -1
+                )
+                tp_has = (tp_label >= 0) & tlab_ok[np.clip(tp_label, 0, None)]
+                ttake = tp_has & ~t2s_valid
+                tl = np.clip(tp_label, 0, None)
+                t2s_R[ttake] = tlab_R[tl[ttake]]
+                t2s_t[ttake] = tlab_t[tl[ttake]]
+                t2s_valid |= ttake
+
+            per_level_stats.append((level, n_s, int(fvalid.sum())))
         if logger:
             logger.info(
                 "tile %s level %s: %d src spts, %d matched pairs, %d fine-valid",

@@ -200,6 +200,7 @@ def run_rgb_guided_tile(
             cross_crops=bool(cfg.get("img_matching_cross_crops", False)),
             max_flow_px=cfg.get("max_flow_px"),
             logger=logger,
+            weights=cfg.get("img_matcher_weights"),
         )
     if logger:
         logger.info("tile %s: %d 2D matches", tile_id, len(corres_2d))

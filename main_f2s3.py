@@ -86,13 +86,18 @@ def main() -> None:
         logger.info(
             "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
         )
-        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+        from fusion4landslide_tpu.pipelines.driver import (
+            iter_tile_clouds,
+            tile_size_buckets,
+        )
 
-        loaded = [
+        n_bucket, m_bucket = tile_size_buckets(tiles)
+        lazy = (
             (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
-        ]
+        )
         run_f2s3_tiles_sharded(
-            cfg, dips_params, filt_params, loaded, logger=logger
+            cfg, dips_params, filt_params, lazy, logger=logger,
+            n_bucket=n_bucket, m_bucket=m_bucket,
         )
     else:
         from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds

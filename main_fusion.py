@@ -152,9 +152,19 @@ def main() -> None:
     use_mesh = cfg.get("use_mesh", "auto")
     if use_mesh == "auto":
         use_mesh = (
-            jax.device_count() > 1 and len(tiles) > 1 and image_kit is None
+            jax.device_count() > 1
+            and len(tiles) > 1
+            and image_kit is None
+            and image_candidates is None
+            and str(cfg.get("partition_type", "supervoxel")) != "superpoint"
         )
-    if use_mesh and image_kit is None:
+    if use_mesh and (image_kit is not None or image_candidates is not None):
+        logger.warning(
+            "use_mesh requested but the RGB 2D-match channel is host-side; "
+            "falling back to the serial per-tile path"
+        )
+        use_mesh = False
+    if use_mesh:
         # Multi-chip path (3D-only): tiles sharded over the device mesh,
         # each chip running the device-resident coarse-to-fine pipeline.
         from fusion4landslide_tpu.parallel import run_fusion3d_tiles_sharded
@@ -162,13 +172,18 @@ def main() -> None:
         logger.info(
             "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
         )
-        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+        from fusion4landslide_tpu.pipelines.driver import (
+            iter_tile_clouds,
+            tile_size_buckets,
+        )
 
-        loaded = [
+        n_bucket, m_bucket = tile_size_buckets(tiles)
+        lazy = (
             (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
-        ]
+        )
         run_fusion3d_tiles_sharded(
-            cfg, dips_params, agg_params, loaded, logger=logger
+            cfg, dips_params, agg_params, lazy, logger=logger,
+            n_bucket=n_bucket, m_bucket=m_bucket,
         )
         tiles = []
 

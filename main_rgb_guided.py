@@ -71,22 +71,37 @@ def main() -> None:
 
     use_mesh = cfg.get("use_mesh", "auto")
     if use_mesh == "auto":
-        use_mesh = jax.device_count() > 1 and len(tiles) > 1
+        use_mesh = (
+            jax.device_count() > 1
+            and len(tiles) > 1
+            and str(cfg.get("clustering_type", "supervoxel")) != "hdbscan"
+        )
+    if use_mesh and str(cfg.get("clustering_type", "supervoxel")) == "hdbscan":
+        logger.warning(
+            "clustering_type=hdbscan is host-side; falling back to the "
+            "serial per-tile path"
+        )
+        use_mesh = False
     if use_mesh:
         # Multi-chip path: the dense 2D matching runs once on the host;
         # the per-tile device program shards over the mesh.
         from fusion4landslide_tpu.parallel import run_rgb_guided_tiles_sharded
-        from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
+        from fusion4landslide_tpu.pipelines.driver import (
+            iter_tile_clouds,
+            tile_size_buckets,
+        )
 
         logger.info(
             "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
         )
-        loaded = [
+        n_bucket, m_bucket = tile_size_buckets(tiles)
+        lazy = (
             (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
-        ]
+        )
         run_rgb_guided_tiles_sharded(
-            cfg, loaded, src_img, tgt_img, intrinsic, src_ext, tgt_ext,
+            cfg, lazy, src_img, tgt_img, intrinsic, src_ext, tgt_ext,
             tgt_intrinsic=tgt_intrinsic, logger=logger,
+            n_bucket=n_bucket, m_bucket=m_bucket,
         )
         tiles = []
 

@@ -198,8 +198,11 @@ def test_sharded_fusion3d_matches_single_device(rng):
     smask[:, -5:] = False
     tmask = np.ones((tiles, n_pts), bool)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(tiles, dtype=jnp.uint32))
-    scal = lambda v: np.full((tiles,), v, np.float32)
-    args = (src, smask, tgt, tmask, keys, scal(10.0), scal(0.1), scal(0.0))
+    scal = lambda v, dt=np.float32: np.full((tiles,), v, dt)
+    args = (
+        src, smask, tgt, tmask, keys, scal(10.0), scal(0.1), scal(0.0),
+        scal(10, np.int32), scal(10, np.int32), scal(0.5), scal(0.15),
+    )
 
     out8 = make_sharded_fusion3d_step(tile_mesh(8), dips, agg, **FUSION_STATICS)(*args)
     out1 = make_sharded_fusion3d_step(tile_mesh(1), dips, agg, **FUSION_STATICS)(*args)
