@@ -201,6 +201,10 @@ def match_epoch_images(
     """
     fn = get_matcher(matcher)
     is_zncc = matcher.lower() == "zncc"
+    if is_zncc:
+        # Learned-matcher-only kwargs (checkpoint path) don't apply to the
+        # correlation matcher; drop them so callers can pass a uniform set.
+        kw.pop("weights", None)
     if is_zncc and max_flow_px is not None:
         # Widen the correlation search to cover the expected motion.
         search = int(kw.get("search", 32))
