@@ -14,7 +14,13 @@ import os
 
 import numpy as np
 
-__all__ = ["dvf_magnitudes", "save_dvfs", "save_dvfms", "visual_clamp_magnitude"]
+__all__ = [
+    "dvf_magnitudes",
+    "save_dvfs",
+    "save_dvfms",
+    "save_txt",
+    "visual_clamp_magnitude",
+]
 
 #: CloudCompare visualisation scale per dataset (base:3490-3497).
 VIS_MAX_MAGNITUDE = {
@@ -30,9 +36,17 @@ def dvf_magnitudes(dvfs: np.ndarray) -> np.ndarray:
     return np.linalg.norm(dvfs[:, 3:6] - dvfs[:, 0:3], axis=1)
 
 
-def save_dvfs(path: str, dvfs: np.ndarray) -> None:
+def save_txt(path: str, table: np.ndarray, fmt: str = "%.6f") -> None:
+    """Result-table text writer. A fixed ``%.6f`` (micrometre precision on
+    metre coordinates) formats ~2x faster than ``np.savetxt``'s ``%.18e``
+    default and halves the file size — these writes are on the per-tile
+    critical path."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savetxt(path, dvfs[:, :6])
+    np.savetxt(path, table, fmt=fmt)
+
+
+def save_dvfs(path: str, dvfs: np.ndarray) -> None:
+    save_txt(path, dvfs[:, :6])
 
 
 def save_dvfms(
@@ -44,8 +58,7 @@ def save_dvfms(
     if magnitudes is None:
         magnitudes = dvf_magnitudes(dvfs)
     table = np.hstack([dvfs[:, :3], magnitudes[:, None]])
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savetxt(path, table)
+    save_txt(path, table)
     return table
 
 

@@ -126,6 +126,7 @@ def run_f2s3_tiles_sharded(
     import os
     import os.path as osp
 
+    from fusion4landslide_tpu.io.results import save_txt
     from fusion4landslide_tpu.ops.segments import bucket_size
     from fusion4landslide_tpu.pipelines.f2s3 import write_f2s3_outputs
 
@@ -152,6 +153,7 @@ def run_f2s3_tiles_sharded(
     statics = dict(
         k_max=int(cfg.get("feat_k_max", 512)),
         patch_points=int(cfg.get("feat_patch_points", 256)),
+        feat_dtype=cfg.get("feat_dtype"),
         chunk=chunk,
         k_neighbors=int(cfg.get("n_normals", 30)),
         sv_cap=sv_cap,
@@ -207,7 +209,7 @@ def run_f2s3_tiles_sharded(
             results_dir = osp.join(out_root, "results")
             os.makedirs(results_dir, exist_ok=True)
             mag0 = np.linalg.norm(out.nn_tgt[i, :n] - s, axis=1)
-            np.savetxt(
+            save_txt(
                 osp.join(
                     results_dir,
                     f"f2s3_dvfms_without_pruning_of_tile_{tile_id}.txt",
@@ -291,6 +293,7 @@ def run_fusion3d_tiles_sharded(
     import os.path as osp
 
     from fusion4landslide_tpu.io.results import (
+        save_txt,
         dvf_magnitudes,
         save_dvfms,
         visual_clamp_magnitude,
@@ -312,12 +315,25 @@ def run_fusion3d_tiles_sharded(
         n_bucket = bucket_size(max(t[1].shape[0] for t in tiles))
         m_bucket = bucket_size(max(t[2].shape[0] for t in tiles))
     N, M = n_bucket, m_bucket
+    if max(N, M) > 65536 and logger:
+        # The fully-traced tile step searches LRF neighbourhoods with a
+        # blocked O(N*M) kNN (its radius is traced, so the O(N) grid
+        # sampler's static-radius kernel can't be used); past ~64k points
+        # per tile it loses to the host path and has exhausted device
+        # memory on v5e. Retile more finely (max_points_per_tile) instead.
+        logger.warning(
+            "sharded fusion_3d with %dk-point tile buckets: the device "
+            "step scales quadratically past 64k points/tile — use a "
+            "smaller max_points_per_tile",
+            max(N, M) // 1024,
+        )
     sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
     member_cap = int(cfg.get("member_cap", 0)) or 512
     statics = dict(
         levels=tuple(int(v) for v in (cfg.get("level_of_superpoint") or [1])),
         k_max=int(cfg.get("feat_k_max", 512)),
         patch_points=int(cfg.get("feat_patch_points", 256)),
+        feat_dtype=cfg.get("feat_dtype"),
         chunk=min(int(cfg.get("feat_chunk", 2048)), N),
         sv_cap=sv_cap,
         member_cap=member_cap,
@@ -380,7 +396,7 @@ def run_fusion3d_tiles_sharded(
             dense_src = src[valid]
             dense_tgt = out.moved[i, :n][valid] + center
             dvfs_dense = np.hstack([dense_src, dense_tgt])
-            np.savetxt(
+            save_txt(
                 osp.join(results_dir, f"c2f_dvfs_src2tgt_tile_{tile_id}.txt"),
                 dvfs_dense,
             )
@@ -389,7 +405,7 @@ def run_fusion3d_tiles_sharded(
                 dvfs_dense,
             )
             if dvfms.shape[0] > 2:
-                np.savetxt(
+                save_txt(
                     osp.join(
                         results_dir,
                         f"c2f_dvfms_src2tgt_visualize_tile_{tile_id}.txt",
@@ -408,7 +424,7 @@ def run_fusion3d_tiles_sharded(
                             dvf_magnitudes(dvfs_sparse)[:, None],
                         ]
                     )
-                    np.savetxt(
+                    save_txt(
                         osp.join(
                             results_dir,
                             f"c2f_dvfms_src2tgt_discrete_visualize_tile_{tile_id}.txt",
@@ -419,7 +435,7 @@ def run_fusion3d_tiles_sharded(
                 tok = out.t2s_valid[i, :m]
                 src_est = out.t2s_src_est[i, :m][tok] + center
                 t2s = np.hstack([src_est, tgt[tok]])
-                np.savetxt(
+                save_txt(
                     osp.join(
                         results_dir, f"c2f_dvfms_tgt2src_tile_{tile_id}.txt"
                     ),
@@ -484,6 +500,7 @@ def run_piecewise_tiles_sharded(
     import os
 
     from fusion4landslide_tpu.io.results import (
+        save_txt,
         save_dvfms,
         save_dvfs,
         visual_clamp_magnitude,
@@ -548,7 +565,7 @@ def run_piecewise_tiles_sharded(
                 dvfs,
             )
             vis = visual_clamp_magnitude(dvfms, cfg.get("dataset"))
-            np.savetxt(
+            save_txt(
                 os.path.join(
                     results_dir,
                     f"piecewise_dvfms_visualize_of_tile_{tile_id}.txt",
@@ -624,6 +641,7 @@ def run_rgb_guided_tiles_sharded(
 
     from fusion4landslide_tpu.image.matching import match_epoch_images
     from fusion4landslide_tpu.io.results import (
+        save_txt,
         save_dvfms,
         save_dvfs,
         visual_clamp_magnitude,
@@ -718,7 +736,7 @@ def run_rgb_guided_tiles_sharded(
             mags0 = np.linalg.norm(
                 out.tgt_match[i, :n] - src_b[i, :n], axis=1
             )
-            np.savetxt(
+            save_txt(
                 os.path.join(
                     results_dir,
                     f"rgb_guided_wo_refinement_dvfms_tile_{tile_id}.txt",
@@ -744,7 +762,7 @@ def run_rgb_guided_tiles_sharded(
                 dvfs,
             )
             if dvfms.shape[0] > 2:
-                np.savetxt(
+                save_txt(
                     os.path.join(
                         results_dir,
                         f"rgb_guided_w_refinement_dvfms_src2tgt_visualize_tile_{tile_id}.txt",

@@ -53,17 +53,21 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
-def _dips_chunk_sampled(dips_params, qc, xc, vc, radius, *, precision):
+@functools.partial(jax.jit, static_argnames=("precision", "dtype"))
+def _dips_chunk_sampled(dips_params, qc, xc, vc, radius, *, precision,
+                        dtype=None):
     """One (chunk, P) pre-sampled LRF + PointNet chunk."""
     from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
 
     patches = lrf_patches_from_neighbors(qc, xc, vc, radius)
-    return PointNetFeature(precision=precision).apply(dips_params, patches)
+    return PointNetFeature(precision=precision, dtype=dtype).apply(
+        dips_params, patches
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
-def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision):
+@functools.partial(jax.jit, static_argnames=("precision", "dtype"))
+def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision,
+                        dtype=None):
     """All pre-sampled chunks in ONE dispatch (lax.map over the leading
     chunk axis). The caller buckets the point count, so the baked chunk
     count takes only a handful of values — one compile per bucket — while
@@ -71,7 +75,7 @@ def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision):
     of tunnel round trips per tile)."""
     from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
 
-    model = PointNetFeature(precision=precision)
+    model = PointNetFeature(precision=precision, dtype=dtype)
 
     def one(args):
         qc, xc, vc = args
@@ -82,18 +86,20 @@ def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_max", "patch_points", "precision")
+    jax.jit, static_argnames=("k_max", "patch_points", "precision", "dtype")
 )
 def _dips_chunk_knn(
     dips_params, qc, halo_pts, halo_mask, radius, key, *,
-    k_max, patch_points, precision,
+    k_max, patch_points, precision, dtype=None,
 ):
     """One kNN-based LRF + PointNet chunk (portable path)."""
     patches = extract_lrf_patches(
         qc, halo_pts, radius, key,
         k_max=k_max, num_points=patch_points, support_mask=halo_mask,
     )
-    return PointNetFeature(precision=precision).apply(dips_params, patches)
+    return PointNetFeature(precision=precision, dtype=dtype).apply(
+        dips_params, patches
+    )
 
 
 def compute_dips_features(
@@ -109,6 +115,7 @@ def compute_dips_features(
     halo_mask: jax.Array | None = None,
     model: PointNetFeature | None = None,
     precision: str = "default",
+    dtype: str | None = None,
 ) -> jax.Array:
     """(n, 64) DIPs descriptors for every core point.
 
@@ -119,10 +126,13 @@ def compute_dips_features(
 
     ``precision``: matmul precision for the descriptor network. 'default'
     (bf16-grade MXU rate) changes L2-normalised descriptors by < 2e-5
-    cosine vs 'highest' and runs ~2x faster.
+    cosine vs 'highest' and runs ~2x faster. ``dtype='bfloat16'``
+    additionally keeps activations in bf16 (halves the network's HBM
+    traffic; the descriptor is L2-normalised in f32 either way).
     """
     if model is not None:
         precision = model.precision
+        dtype = model.dtype
     n = core_pts.shape[0]
 
     from fusion4landslide_tpu.ops.knn_pallas import pallas_available
@@ -167,7 +177,7 @@ def compute_dips_features(
         vs = valid.reshape(n_chunks, chunk, patch_points)
         feats = _dips_chunks_mapped(
             dips_params, qs, xs, vs, jnp.asarray(radius_q, jnp.float32),
-            precision=precision,
+            precision=precision, dtype=dtype,
         )
         return feats.reshape(-1, feats.shape[-1])[:n]
 
@@ -181,6 +191,7 @@ def compute_dips_features(
         _dips_chunk_knn(
             dips_params, qs[i], halo_pts, halo_mask, radius, keys[i],
             k_max=k_max, patch_points=patch_points, precision=precision,
+            dtype=dtype,
         )
         for i in range(n_chunks)
     ]
@@ -321,6 +332,7 @@ def write_f2s3_outputs(
     30x-median magnitude filter, C2C gap fill. Shared by the serial host
     path and the sharded multi-tile path."""
     from fusion4landslide_tpu.io.results import (
+        save_txt,
         save_dvfms,
         visual_clamp_magnitude,
     )
@@ -341,7 +353,7 @@ def write_f2s3_outputs(
         filtered, mags = filtered[sel], mags[sel]
 
     final = np.hstack([filtered[:, :3] + center, filtered[:, 3:6] + center])
-    np.savetxt(osp.join(results_dir, f"f2s3_dvfs_of_tile_{tile_id}.txt"), final)
+    save_txt(osp.join(results_dir, f"f2s3_dvfs_of_tile_{tile_id}.txt"), final)
     dvfms = save_dvfms(
         osp.join(results_dir, f"f2s3_dvfms_of_tile_{tile_id}.txt"),
         final,
@@ -349,7 +361,7 @@ def write_f2s3_outputs(
     )
     if dvfms.shape[0] > 2:
         vis = visual_clamp_magnitude(dvfms, max_magnitude=5.0)
-        np.savetxt(
+        save_txt(
             osp.join(
                 results_dir, f"f2s3_dvfms_of_tile_{tile_id}_visualize_0_5.txt"
             ),
@@ -363,7 +375,7 @@ def write_f2s3_outputs(
         sub = np.hstack([final[sel][:, :3], mags[sel][:, None]])
         d = osp.join(results_dir, "filtered_by_magnitude")
         os.makedirs(d, exist_ok=True)
-        np.savetxt(
+        save_txt(
             osp.join(d, f"f2s3_dvfms_filtered_by_median_mag_of_tile_{tile_id}.txt"),
             sub,
         )
@@ -389,7 +401,7 @@ def write_f2s3_outputs(
         c2c[kept_idx] = kmags
         d = osp.join(results_dir, "combined_with_c2c")
         os.makedirs(d, exist_ok=True)
-        np.savetxt(
+        save_txt(
             osp.join(d, f"f2s3_dvfms_combined_with_c2c_of_tile_{tile_id}.txt"),
             np.hstack([s + center, c2c[:, None]]),
         )
@@ -457,11 +469,18 @@ def run_f2s3_tile(
         if logger:
             logger.info("tile %s: features loaded from %s", tile_id, feat_cache)
     else:
+        feat_dtype = cfg.get("feat_dtype")
         src_feat = np.asarray(
-            compute_dips_features(dips_params, jnp.asarray(s), jnp.asarray(sh), radius, k_feat_s)
+            compute_dips_features(
+                dips_params, jnp.asarray(s), jnp.asarray(sh), radius,
+                k_feat_s, dtype=feat_dtype,
+            )
         )
         tgt_feat = np.asarray(
-            compute_dips_features(dips_params, jnp.asarray(t), jnp.asarray(th), radius, k_feat_t)
+            compute_dips_features(
+                dips_params, jnp.asarray(t), jnp.asarray(th), radius,
+                k_feat_t, dtype=feat_dtype,
+            )
         )
         if cfg.get("save_interim", False):
             os.makedirs(osp.dirname(feat_cache), exist_ok=True)
@@ -495,6 +514,8 @@ def run_f2s3_tile(
     nn_idx = np.asarray(nn_idx)
     correspondences = np.hstack([s, t[nn_idx]])
 
+    from fusion4landslide_tpu.io.results import save_txt
+
     out_root = osp.join(
         str(cfg.get("output_dir", ".")), str(cfg.get("output_folder", "run"))
     )
@@ -504,7 +525,7 @@ def run_f2s3_tile(
     # Pre-pruning interim dvfms (f2s3.py:286-294).
     mag0 = np.linalg.norm(correspondences[:, 3:6] - correspondences[:, :3], axis=1)
     interim = np.hstack([correspondences[:, :3] + center, mag0[:, None]])
-    np.savetxt(
+    save_txt(
         osp.join(results_dir, f"f2s3_dvfms_without_pruning_of_tile_{tile_id}.txt"),
         interim,
     )

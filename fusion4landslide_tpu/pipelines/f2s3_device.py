@@ -70,6 +70,7 @@ def dips_features_device(
     patch_points: int = 256,
     chunk: int = 2048,
     precision: str = "default",
+    dtype: str | None = None,
 ) -> jax.Array:
     """(n, 64) DIPs descriptors, fully traceable (traced ``radius``).
 
@@ -77,7 +78,7 @@ def dips_features_device(
     src/f2s3.py:91-154 + src/data_loader.py:42-106) via the portable
     kNN-based LRF extractor, chunked over query points.
     """
-    model = PointNetFeature(precision=precision)
+    model = PointNetFeature(precision=precision, dtype=dtype)
     n = query.shape[0]
     chunk = min(chunk, n)
     pad = (-n) % chunk
@@ -179,6 +180,7 @@ def f2s3_tile_step(
     num_layers: int = 12,
     with_c2c: bool = True,
     precision: str = "default",
+    feat_dtype: str | None = None,
 ) -> F2S3TileResult:
     """One F2S3 tile, entirely on device (reference stage map in the module
     docstring of ``pipelines.f2s3``; per-stage citations there).
@@ -204,7 +206,7 @@ def f2s3_tile_step(
     # 2. DIPs descriptors (f2s3.py:91-154).
     feat_kw = dict(
         k_max=k_max, patch_points=patch_points, chunk=chunk,
-        precision=precision,
+        precision=precision, dtype=feat_dtype,
     )
     src_feat = dips_features_device(
         dips_params, src, src, smask, radius, k1, **feat_kw

@@ -460,6 +460,7 @@ def _fusion_tile_core(
     """Shared coarse-to-fine tile solve; the 2D-match channel is active when
     ``image_data`` is given (fusion) and absent for fusion_3d."""
     from fusion4landslide_tpu.io.results import (
+        save_txt,
         dvf_magnitudes,
         save_dvfms,
         visual_clamp_magnitude,
@@ -528,7 +529,8 @@ def _fusion_tile_core(
         k_max=int(cfg.get("feat_k_max", 512)),
         patch_points=int(cfg.get("feat_patch_points", 256)),
         chunk=int(cfg.get("feat_chunk", 2048)),
-    )
+        dtype=cfg.get("feat_dtype"),  # 'bfloat16' halves descriptor-net
+    )                                 # HBM traffic; descriptors re-normed f32
 
     _log(f"tile {tile_id}: stage dips_features (radius={radius:.3f})")
 
@@ -741,7 +743,7 @@ def _fusion_tile_core(
                     )[:, None],
                 ]
             )
-            np.savetxt(
+            save_txt(
                 osp.join(
                     results_dir,
                     f"c2f_dvfms_from_global_2d_src2tgt_wo_pruning_visualize_tile_{tile_id}.txt",
@@ -758,7 +760,7 @@ def _fusion_tile_core(
         ]
     )
     vis = visual_clamp_magnitude(interim, cfg.get("dataset"))
-    np.savetxt(
+    save_txt(
         osp.join(
             results_dir,
             f"c2f_dvfms_from_global_3d_src2tgt_wo_pruning_visualize_tile_{tile_id}.txt",
@@ -1063,56 +1065,60 @@ def _fusion_tile_core(
             )
 
     # Dense output: R p + t for every assigned source point (base:3371-3380).
-    src_pts_j = jnp.asarray(s)
-    moved = np.asarray(
-        jax.vmap(lambda p, R, tt: R @ p + tt)(
-            src_pts_j, jnp.asarray(merged_R), jnp.asarray(merged_t)
+    with timer.stage("dense_output"):
+        src_pts_j = jnp.asarray(s)
+        moved = np.asarray(
+            jax.vmap(lambda p, R, tt: R @ p + tt)(
+                src_pts_j, jnp.asarray(merged_R), jnp.asarray(merged_t)
+            )
         )
-    )
-    dense_src = src_core[merged_valid]
-    dense_tgt = moved[merged_valid] + center
-    dvfs_dense = np.hstack([dense_src, dense_tgt])
+        dense_src = src_core[merged_valid]
+        dense_tgt = moved[merged_valid] + center
+        dvfs_dense = np.hstack([dense_src, dense_tgt])
 
-    np.savetxt(
-        osp.join(results_dir, f"c2f_dvfs_src2tgt_tile_{tile_id}.txt"), dvfs_dense
-    )
-    dvfms = save_dvfms(
-        osp.join(results_dir, f"c2f_dvfms_src2tgt_tile_{tile_id}.txt"), dvfs_dense
-    )
-    if dvfms.shape[0] > 2:
-        np.savetxt(
-            osp.join(
-                results_dir, f"c2f_dvfms_src2tgt_visualize_tile_{tile_id}.txt"
-            ),
-            visual_clamp_magnitude(dvfms, cfg.get("dataset")),
+        save_txt(
+            osp.join(results_dir, f"c2f_dvfs_src2tgt_tile_{tile_id}.txt"),
+            dvfs_dense,
         )
+        dvfms = save_dvfms(
+            osp.join(results_dir, f"c2f_dvfms_src2tgt_tile_{tile_id}.txt"),
+            dvfs_dense,
+        )
+        if dvfms.shape[0] > 2:
+            save_txt(
+                osp.join(
+                    results_dir, f"c2f_dvfms_src2tgt_visualize_tile_{tile_id}.txt"
+                ),
+                visual_clamp_magnitude(dvfms, cfg.get("dataset")),
+            )
 
     # Sparse 'assign_then_nn' output: re-associate moved points with actual
     # target points within the adaptive threshold (base:3414-3436).
     dvfs_sparse = None
     if assign_type == "assign_then_nn" and merged_valid.any():
-        adaptive = np.maximum(2.0 * merged_rmse[merged_valid], median_res)
-        radius_nn = float(np.maximum(adaptive.max(), median_res))
-        grid = build_hash_grid(jnp.asarray(t), radius_nn)
-        d2, nn_idx, _ = hash_grid_knn(
-            jnp.asarray(moved[merged_valid]), grid, radius_nn, k=1
-        )
-        d = np.sqrt(np.asarray(d2)[:, 0])
-        ok = np.isfinite(d) & (d < adaptive)
-        nn_idx = np.asarray(nn_idx)[:, 0]
-        dvfs_sparse = np.hstack(
-            [dense_src[ok], t[nn_idx[ok]] + center]
-        )
-        sparse_ms = np.hstack(
-            [dvfs_sparse[:, :3], dvf_magnitudes(dvfs_sparse)[:, None]]
-        )
-        np.savetxt(
-            osp.join(
-                results_dir,
-                f"c2f_dvfms_src2tgt_discrete_visualize_tile_{tile_id}.txt",
-            ),
-            visual_clamp_magnitude(sparse_ms, cfg.get("dataset")),
-        )
+        with timer.stage("sparse_assign"):
+            adaptive = np.maximum(2.0 * merged_rmse[merged_valid], median_res)
+            radius_nn = float(np.maximum(adaptive.max(), median_res))
+            grid = build_hash_grid(jnp.asarray(t), radius_nn)
+            d2, nn_idx, _ = hash_grid_knn(
+                jnp.asarray(moved[merged_valid]), grid, radius_nn, k=1
+            )
+            d = np.sqrt(np.asarray(d2)[:, 0])
+            ok = np.isfinite(d) & (d < adaptive)
+            nn_idx = np.asarray(nn_idx)[:, 0]
+            dvfs_sparse = np.hstack(
+                [dense_src[ok], t[nn_idx[ok]] + center]
+            )
+            sparse_ms = np.hstack(
+                [dvfs_sparse[:, :3], dvf_magnitudes(dvfs_sparse)[:, None]]
+            )
+            save_txt(
+                osp.join(
+                    results_dir,
+                    f"c2f_dvfms_src2tgt_discrete_visualize_tile_{tile_id}.txt",
+                ),
+                visual_clamp_magnitude(sparse_ms, cfg.get("dataset")),
+            )
 
     # tgt -> src output (base:3386-3393): each matched pair's inverse
     # transform applied to its target patch's points (exact semantics;
@@ -1123,7 +1129,7 @@ def _fusion_tile_core(
             + t2s_t[t2s_valid]
         )
         dvfs_t2s = np.hstack([src_est + center, tgt_core[t2s_valid]])
-        np.savetxt(
+        save_txt(
             osp.join(results_dir, f"c2f_dvfms_tgt2src_tile_{tile_id}.txt"),
             np.hstack(
                 [

@@ -248,6 +248,7 @@ def fusion3d_tile_step(
     with_sparse: bool = True,
     with_tgt2src: bool = True,
     precision: str = "default",
+    feat_dtype: str | None = None,
 ) -> Fusion3DTileResult:
     """One fusion_3d tile, entirely on device. Stage citations in
     ``pipelines.fusion`` (host path); this function reproduces the same
@@ -278,7 +279,7 @@ def fusion3d_tile_step(
     # the full point clouds.
     feat_kw = dict(
         k_max=k_max, patch_points=patch_points, chunk=chunk,
-        precision=precision,
+        precision=precision, dtype=feat_dtype,
     )
     src_feat = dips_features_device(
         dips_params, s_cent, src, smask, radius, k_s, **feat_kw

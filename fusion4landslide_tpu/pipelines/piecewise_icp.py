@@ -179,6 +179,7 @@ def run_piecewise_icp(
     variant (piecewise_icp.py:201-216).
     """
     from fusion4landslide_tpu.io.results import (
+        save_txt,
         save_dvfms,
         save_dvfs,
         visual_clamp_magnitude,
@@ -225,7 +226,7 @@ def run_piecewise_icp(
             dvfs,
         )
         vis = visual_clamp_magnitude(dvfms, dataset)
-        np.savetxt(
+        save_txt(
             os.path.join(
                 results, f"piecewise_dvfms_visualize_of_tile_{tile_id}.txt"
             ),

@@ -160,6 +160,7 @@ def run_rgb_guided_tile(
     """
     from fusion4landslide_tpu.image.matching import match_epoch_images
     from fusion4landslide_tpu.io.results import (
+        save_txt,
         save_dvfms,
         save_dvfs,
         visual_clamp_magnitude,
@@ -218,7 +219,7 @@ def run_rgb_guided_tile(
     if len(corres_2d) == 0:
         if logger:
             logger.warning("tile %s: no 2D matches — emitting empty results", tile_id)
-        np.savetxt(
+        save_txt(
             osp.join(results_dir, f"rgb_guided_wo_refinement_dvfms_tile_{tile_id}.txt"),
             np.zeros((0, 4)),
         )
@@ -242,7 +243,7 @@ def run_rgb_guided_tile(
 
     # Pre-refinement output (rgb_guided.py:1594-1607).
     wo = np.hstack([src_core[matched], mag[matched][:, None]])
-    np.savetxt(
+    save_txt(
         osp.join(results_dir, f"rgb_guided_wo_refinement_dvfms_tile_{tile_id}.txt"),
         wo,
     )
@@ -318,7 +319,7 @@ def run_rgb_guided_tile(
         dvfs,
     )
     if dvfms.shape[0] > 2:
-        np.savetxt(
+        save_txt(
             osp.join(
                 results_dir,
                 f"rgb_guided_w_refinement_dvfms_src2tgt_visualize_tile_{tile_id}.txt",
