@@ -68,7 +68,23 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
+def _global_matches_3d_core(
+    src_vox_feat, tgt_vox_feat, src_vox, tgt_vox, max_magnitude,
+    src_valid, tgt_valid,
+):
+    sqd, idx = knn(src_vox_feat, tgt_vox_feat, 1, tgt_valid)
+    idx = idx[:, 0]
+    matched_tgt = jnp.take(tgt_vox, idx, axis=0)
+    mag = jnp.linalg.norm(src_vox - matched_tgt, axis=-1)
+    valid = (
+        jnp.isfinite(sqd[:, 0])
+        & (mag <= max_magnitude)
+        & src_valid.astype(bool)
+    )
+    return idx, valid
+
+
 def global_matches_3d(
     src_vox_feat: jax.Array,
     tgt_vox_feat: jax.Array,
@@ -81,16 +97,32 @@ def global_matches_3d(
     """Feature-space 1-NN voxel matches gated by displacement magnitude.
 
     Returns (tgt_idx (Vs,), valid (Vs,)) — the reference keeps -1 for
-    unmatched (base:2879-2885); here a boolean mask.
+    unmatched (base:2879-2885); here a boolean mask. One jitted dispatch;
+    inputs are padded to power-of-two buckets so per-tile voxel-count
+    variation reuses the compilation.
     """
-    sqd, idx = knn(src_vox_feat, tgt_vox_feat, 1, tgt_valid)
-    idx = idx[:, 0]
-    matched_tgt = jnp.take(tgt_vox, idx, axis=0)
-    mag = jnp.linalg.norm(src_vox - matched_tgt, axis=-1)
-    valid = jnp.isfinite(sqd[:, 0]) & (mag <= max_magnitude)
-    if src_valid is not None:
-        valid = valid & src_valid.astype(bool)
-    return idx, valid
+    from fusion4landslide_tpu.ops.segments import bucket_size
+
+    n, m = src_vox_feat.shape[0], tgt_vox_feat.shape[0]
+    nb, mb = bucket_size(n), bucket_size(m)
+    sv = (
+        jnp.ones((n,), bool) if src_valid is None
+        else jnp.asarray(src_valid).astype(bool)
+    )
+    tv = (
+        jnp.ones((m,), bool) if tgt_valid is None
+        else jnp.asarray(tgt_valid).astype(bool)
+    )
+    idx, valid = _global_matches_3d_core(
+        jnp.pad(src_vox_feat, ((0, nb - n), (0, 0))),
+        jnp.pad(tgt_vox_feat, ((0, mb - m), (0, 0))),
+        jnp.pad(src_vox, ((0, nb - n), (0, 0))),
+        jnp.pad(tgt_vox, ((0, mb - m), (0, 0))),
+        jnp.asarray(max_magnitude, src_vox.dtype),
+        jnp.pad(sv, (0, nb - n)),
+        jnp.pad(tv, (0, mb - m)),
+    )
+    return idx[:n], valid[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("mutual",))
@@ -142,6 +174,52 @@ def coarse_match_superpoints(
             jnp.take(src_of_tgt, tgt_of_src) == jnp.arange(dist.shape[0])
         )
     return tgt_of_src, valid
+
+
+@functools.partial(jax.jit, static_argnames=("P_agg", "s_chunk"))
+def aggregate_superpoints(
+    agg_params,
+    feat_arr: jax.Array,  # (V, D) per-voxel descriptors
+    coords: jax.Array,  # (V, 3)
+    mem: jax.Array,  # (S, P) member voxel index per superpoint slot
+    mmask: jax.Array,  # (S, P)
+    *,
+    P_agg: int,
+    s_chunk: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """ClusterFeatureNet feature + full-member centroid per superpoint in
+    ONE jitted dispatch (base:2561-2656).
+
+    Self-attention is quadratic in patch size, so members are strided down
+    to ``P_agg`` for the network (the reference bounds this by aggregating
+    over voxel-subsampled patches, feature_aggregation/...:80-83) and the
+    apply is chunked over superpoints via ``lax.map`` to bound the
+    (chunk, P, P) score tensor. The centroid uses the FULL member set.
+    """
+    P_full = mem.shape[1]
+    if P_full > P_agg:
+        stride = -(-P_full // P_agg)
+        mem_a = mem[:, ::stride][:, :P_agg]
+        mmask_a = mmask[:, ::stride][:, :P_agg]
+    else:
+        mem_a, mmask_a = mem, mmask
+    model = ClusterFeatureNet()
+    feats = jnp.take(feat_arr, mem_a, axis=0) * mmask_a[..., None]
+    S = feats.shape[0]
+    c = min(s_chunk, S)
+    pad_s = (-S) % c
+    fp = jnp.pad(feats, ((0, pad_s), (0, 0), (0, 0)))
+    mp = jnp.pad(mmask_a, ((0, pad_s), (0, 0)))
+    out = jax.lax.map(
+        lambda args: model.apply(agg_params, *args),
+        (fp.reshape(-1, c, *fp.shape[1:]), mp.reshape(-1, c, mp.shape[1])),
+    )
+    spt_feat = out.reshape(-1, out.shape[-1])[:S]
+    w = mmask.astype(coords.dtype)[..., None]
+    cent = jnp.sum(jnp.take(coords, mem, axis=0) * w, axis=1) / jnp.maximum(
+        jnp.sum(w, axis=1), 1.0
+    )
+    return spt_feat, cent
 
 
 class FinePairResult(NamedTuple):
@@ -493,6 +571,15 @@ def _fusion_tile_core(
 
     timer = StageTimer()
 
+    # F4L_SUBSTAGES=1 adds device-synchronised sub-stage timers inside the
+    # match stages (a tiny device->host read per boundary; the tunnelled TPU
+    # acks dispatch before completion, so only a transfer truly syncs).
+    _substages = os.environ.get("F4L_SUBSTAGES") == "1"
+
+    def _sync(x):
+        if _substages:
+            np.asarray(jax.device_get(jnp.ravel(x)[-1:]))
+
     def _log(msg):
         if logger:
             logger.info(msg)
@@ -535,18 +622,18 @@ def _fusion_tile_core(
     _log(f"tile {tile_id}: stage dips_features (radius={radius:.3f})")
 
     def _compute_feats():
+        # Device arrays, not numpy: the consumers (global 3D matches, the
+        # per-level aggregation) run on device, and np.savez converts lazily
+        # — so the ~50MB of descriptors only crosses the device link when
+        # save_interim actually persists them.
         return {
-            "src_feat": np.asarray(
-                compute_dips_features(
-                    dips_params, jnp.asarray(src_vox), jnp.asarray(sh),
-                    radius, k_s, **feat_kw,
-                )
+            "src_feat": compute_dips_features(
+                dips_params, jnp.asarray(src_vox), jnp.asarray(sh),
+                radius, k_s, **feat_kw,
             ),
-            "tgt_feat": np.asarray(
-                compute_dips_features(
-                    dips_params, jnp.asarray(tgt_vox), jnp.asarray(th),
-                    radius, k_t, **feat_kw,
-                )
+            "tgt_feat": compute_dips_features(
+                dips_params, jnp.asarray(tgt_vox), jnp.asarray(th),
+                radius, k_t, **feat_kw,
             ),
         }
 
@@ -571,9 +658,15 @@ def _fusion_tile_core(
     # --- 3. Global 3D voxel matches (base:2756-2889).
     _log(f"tile {tile_id}: stage global_3d_matches")
     with timer.stage("global_3d_matches"):
+        # One upload of the big per-tile constants; the level loop and the
+        # fine matcher reuse these device handles (re-pushing ~20MB tables
+        # over the device link per level dominated the match stages).
+        src_feat_d = jnp.asarray(src_feat)
+        tgt_feat_d = jnp.asarray(tgt_feat)
+        src_vox_d = jnp.asarray(src_vox)
+        tgt_vox_d = jnp.asarray(tgt_vox)
         g_idx, g_valid = global_matches_3d(
-            jnp.asarray(src_feat), jnp.asarray(tgt_feat),
-            jnp.asarray(src_vox), jnp.asarray(tgt_vox), max_mag,
+            src_feat_d, tgt_feat_d, src_vox_d, tgt_vox_d, max_mag,
         )
         g_idx = np.asarray(g_idx)
         g_valid = np.asarray(g_valid)
@@ -768,7 +861,6 @@ def _fusion_tile_core(
         vis,
     )
 
-    agg_model = ClusterFeatureNet()
     base_svl_radius = max(radius, float(cfg.get("voxel_size_init", 0.0) or 0.0))
 
     n_src_pts = s.shape[0]
@@ -837,6 +929,11 @@ def _fusion_tile_core(
     # Supervoxel kNN graph + PCA normals are radius-independent: build once
     # per voxel cloud, reuse across all levels (the reference re-runs the
     # full C++ segmentation per level, coarse_to_fine_matching.py:215-287).
+    # Levels run as separate per-cloud dispatches at the cloud's native
+    # size on purpose: fusing all 2xL instances into one padded lax.map /
+    # vmap dispatch measured 2.5-4x SLOWER on v5e (bucket padding inflates
+    # the per-instance sorts, and XLA lowers the batched label-propagation
+    # scatters poorly).
     _sv_cache: dict = {}
 
     def _segment(which, vox_arr, svl_radius):
@@ -882,47 +979,23 @@ def _fusion_tile_core(
             cnt_t = np.bincount(lab_t[lab_t >= 0], minlength=n_t)
             P_s = bucket_size(int(cnt_s.max()))
             P_t = bucket_size(int(cnt_t.max()))
-            mem_s, memmask_s = label_members(jnp.asarray(lab_s), S_s, P_s)
-            mem_t, memmask_t = label_members(jnp.asarray(lab_t), S_t, P_t)
+            with timer.stage(f"match_l{level}.members"):
+                mem_s, memmask_s = label_members(jnp.asarray(lab_s), S_s, P_s)
+                mem_t, memmask_t = label_members(jnp.asarray(lab_t), S_t, P_t)
+                _sync(memmask_t)
 
             # --- 5. Superpoint aggregation (base:2561-2656) + coarse matching.
-            # Self-attention is quadratic in patch size; large superpoints are
-            # represented by a strided member subsample (<= agg_max_points) and
-            # the apply is chunked over superpoints to bound the (c, P, P)
-            # score tensor (the reference bounds this by aggregating over
-            # voxel-subsampled patches, feature_aggregation/...:80-83).
             P_agg = min(int(cfg.get("agg_max_points", 512)), P_s, P_t)
-
-            def _agg(feat_arr, mem, mmask, P_full):
-                if P_full > P_agg:
-                    stride = -(-P_full // P_agg)
-                    mem = mem[:, ::stride][:, :P_agg]
-                    mmask = mmask[:, ::stride][:, :P_agg]
-                feats = jnp.take(feat_arr, mem, axis=0) * mmask[..., None]
-                S = feats.shape[0]
-                c = min(256, S)
-                pad_s = (-S) % c
-                fp = jnp.pad(feats, ((0, pad_s), (0, 0), (0, 0)))
-                mp = jnp.pad(mmask, ((0, pad_s), (0, 0)))
-                out = jax.lax.map(
-                    lambda args: agg_model.apply(agg_params, *args),
-                    (
-                        fp.reshape(-1, c, *fp.shape[1:]),
-                        mp.reshape(-1, c, mp.shape[1]),
-                    ),
+            with timer.stage(f"match_l{level}.agg"):
+                spt_feat_s, spt_coord_s = aggregate_superpoints(
+                    agg_params, src_feat_d, src_vox_d,
+                    mem_s, memmask_s, P_agg=P_agg,
                 )
-                return out.reshape(-1, out.shape[-1])[:S]
-
-            spt_feat_s = _agg(jnp.asarray(src_feat), mem_s, memmask_s, P_s)
-            spt_feat_t = _agg(jnp.asarray(tgt_feat), mem_t, memmask_t, P_t)
-            w_s = memmask_s.astype(jnp.float32)[..., None]
-            spt_coord_s = jnp.sum(
-                jnp.take(jnp.asarray(src_vox), mem_s, axis=0) * w_s, axis=1
-            ) / jnp.maximum(jnp.sum(w_s, axis=1), 1.0)
-            w_t = memmask_t.astype(jnp.float32)[..., None]
-            spt_coord_t = jnp.sum(
-                jnp.take(jnp.asarray(tgt_vox), mem_t, axis=0) * w_t, axis=1
-            ) / jnp.maximum(jnp.sum(w_t, axis=1), 1.0)
+                spt_feat_t, spt_coord_t = aggregate_superpoints(
+                    agg_params, tgt_feat_d, tgt_vox_d,
+                    mem_t, memmask_t, P_agg=P_agg,
+                )
+                _sync(spt_feat_t)
             valid_s = jnp.arange(S_s) < n_s
             valid_t = jnp.arange(S_t) < n_t
             # Coarse mode (reference config coarse_matching_{fusion,only_3d,
@@ -936,13 +1009,14 @@ def _fusion_tile_core(
             )
             pair_list = []
             if not coarse_only_2d:
-                tgt_of_src, pair_valid = coarse_match_superpoints(
-                    spt_feat_s, spt_coord_s, valid_s,
-                    spt_feat_t, spt_coord_t, valid_t,
-                    max_mag,
-                )
-                tgt_of_src = np.asarray(tgt_of_src)
-                pair_valid = np.asarray(pair_valid)
+                with timer.stage(f"match_l{level}.coarse"):
+                    tgt_of_src, pair_valid = coarse_match_superpoints(
+                        spt_feat_s, spt_coord_s, valid_s,
+                        spt_feat_t, spt_coord_t, valid_t,
+                        max_mag,
+                    )
+                    tgt_of_src = np.asarray(tgt_of_src)
+                    pair_valid = np.asarray(pair_valid)
                 src_3d = np.where(pair_valid[:n_s])[0]
                 pair_list.append(np.stack([src_3d, tgt_of_src[src_3d]], axis=1))
             if coarse_fusion or coarse_only_2d:
@@ -992,26 +1066,27 @@ def _fusion_tile_core(
             memmask_pad = memmask_pad & (
                 jnp.arange(pairs_cap) < n_pairs
             )[:, None]
-            fine = fine_match_pairs(
-                jnp.take(mem_s, jnp.asarray(pair_src_b), axis=0),
-                memmask_pad,
-                jnp.asarray(pair_tgt_b, jnp.int32),
-                jnp.asarray(ch1_idx, jnp.int32),
-                jnp.asarray(ch1_valid),
-                jnp.asarray(lab_t, jnp.int32),
-                jnp.asarray(src_vox),
-                jnp.asarray(tgt_vox),
-                num_min_quality=num_min_quality,
-                thres_dist_diff=thres_dd,
-                thres_inlier_ratio=thres_ir,
-                num_min_fine=num_min_fine,
-                icp_threshold=icp_thr,
-                **fine_kw,
-            )
-            fR = np.asarray(fine.R)[:n_pairs]
-            ft = np.asarray(fine.t)[:n_pairs]
-            frmse = np.asarray(fine.rmse)[:n_pairs]
-            fvalid = np.asarray(fine.valid)[:n_pairs]
+            with timer.stage(f"match_l{level}.fine"):
+                fine = fine_match_pairs(
+                    jnp.take(mem_s, jnp.asarray(pair_src_b), axis=0),
+                    memmask_pad,
+                    jnp.asarray(pair_tgt_b, jnp.int32),
+                    jnp.asarray(ch1_idx, jnp.int32),
+                    jnp.asarray(ch1_valid),
+                    jnp.asarray(lab_t, jnp.int32),
+                    src_vox_d,
+                    tgt_vox_d,
+                    num_min_quality=num_min_quality,
+                    thres_dist_diff=thres_dd,
+                    thres_inlier_ratio=thres_ir,
+                    num_min_fine=num_min_fine,
+                    icp_threshold=icp_thr,
+                    **fine_kw,
+                )
+                fR = np.asarray(fine.R)[:n_pairs]
+                ft = np.asarray(fine.t)[:n_pairs]
+                frmse = np.asarray(fine.rmse)[:n_pairs]
+                fvalid = np.asarray(fine.valid)[:n_pairs]
 
             # Map per-pair transforms to per-src-label slots.
             lab_R = np.tile(np.eye(3, dtype=np.float32), (n_s, 1, 1))
@@ -1066,12 +1141,7 @@ def _fusion_tile_core(
 
     # Dense output: R p + t for every assigned source point (base:3371-3380).
     with timer.stage("dense_output"):
-        src_pts_j = jnp.asarray(s)
-        moved = np.asarray(
-            jax.vmap(lambda p, R, tt: R @ p + tt)(
-                src_pts_j, jnp.asarray(merged_R), jnp.asarray(merged_t)
-            )
-        )
+        moved = np.einsum("nij,nj->ni", merged_R, s) + merged_t
         dense_src = src_core[merged_valid]
         dense_tgt = moved[merged_valid] + center
         dvfs_dense = np.hstack([dense_src, dense_tgt])
