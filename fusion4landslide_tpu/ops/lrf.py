@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from fusion4landslide_tpu.ops.eig3 import smallest_eigenvector_sym3x3
+
 from fusion4landslide_tpu.ops.knn import knn
 
 __all__ = ["extract_lrf_patches", "lrf_patches_from_samples"]
@@ -137,8 +139,8 @@ def _lrf_normalize(query, neigh, valid, cov_mask, radius):
     cov = jnp.einsum("nki,nkj->nij", diff * w, diff * w, precision=hp)
     cov = cov / cnt[..., None]
 
-    _, vecs = jnp.linalg.eigh(cov)
-    np_hat = vecs[..., :, 0]  # smallest-eigenvalue eigenvector
+    np_hat = smallest_eigenvector_sym3x3(cov)  # closed form: ~10x
+    # faster than eigh's iterative TPU lowering (ops/eig3.py)
 
     # eq. 4 sign disambiguation: zp points so that sum(np_hat · -diff) > 0.
     s = jnp.einsum("ni,nki->n", np_hat, -diff * w, precision=hp)

@@ -17,6 +17,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from fusion4landslide_tpu.ops.eig3 import smallest_eigenvector_sym3x3
+
 from fusion4landslide_tpu.ops.knn import knn
 
 __all__ = ["pca_normals", "neighborhood_covariance"]
@@ -56,17 +58,16 @@ def pca_normals(
             reuse across stages (the supervoxel stage needs the same graph).
 
     Returns:
-        (n, 3) unit normals (arbitrary sign; zero rows for degenerate/masked).
+        (n, 3) unit normals (arbitrary sign; arbitrary fixed axis for
+        degenerate neighbourhoods, zero rows for masked points).
     """
     if neigh_idx is None:
         sqd, neigh_idx = knn(points, points, k, mask)
         neigh_mask = jnp.isfinite(sqd)
     cov = neighborhood_covariance(points, neigh_idx, neigh_mask)
-    # eigh returns ascending eigenvalues: column 0 = smallest = normal.
-    _, vecs = jnp.linalg.eigh(cov)
-    normals = vecs[..., :, 0]
-    norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = jnp.where(norm > 0, normals / jnp.maximum(norm, 1e-12), 0.0)
+    # Closed-form smallest eigenvector (ops/eig3.py) — eigh's iterative
+    # TPU lowering was the dominant cost of normal estimation.
+    normals = smallest_eigenvector_sym3x3(cov)
     if mask is not None:
         normals = jnp.where(mask[:, None], normals, 0.0)
     return normals

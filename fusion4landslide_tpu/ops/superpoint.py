@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from fusion4landslide_tpu.ops.knn import knn
+from fusion4landslide_tpu.ops.eig3 import eigvals_sym3x3
 from fusion4landslide_tpu.ops.normals import neighborhood_covariance
 
 __all__ = [
@@ -52,7 +53,7 @@ def geometric_features(
     sqd, idx = knn(points, points, k, mask)
     nmask = jnp.isfinite(sqd)
     cov = neighborhood_covariance(points, idx, nmask)
-    evals = jnp.linalg.eigvalsh(cov)  # ascending
+    evals = eigvals_sym3x3(cov)  # ascending; closed form (ops/eig3.py)
     l3, l2, l1 = evals[..., 0], evals[..., 1], evals[..., 2]
     l1 = jnp.maximum(l1, 1e-12)
     feats = jnp.stack(

@@ -230,7 +230,7 @@ def _supervoxel_core(
             resolution,
         )
 
-    def sweep(labels, _):
+    def sweep(labels):
         # Candidate labels: own + each neighbour's current label.
         neigh_labels = jnp.take(labels, neigh_idx, axis=0)  # (n, k)
         cand = jnp.concatenate([labels[:, None], neigh_labels], axis=1)
@@ -249,10 +249,25 @@ def _supervoxel_core(
         cost = jnp.where(cand_ok, cost, jnp.inf)
         best = jnp.argmin(cost, axis=1)
         new_labels = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
-        new_labels = jnp.where(valid, new_labels, n - 1)
-        return new_labels, None
+        return jnp.where(valid, new_labels, n - 1)
 
-    labels, _ = jax.lax.scan(sweep, labels, None, length=num_sweeps)
+    # Device-side early exit: propagation is a fixed-point iteration (the
+    # reference's refinement queue drains when no point swaps,
+    # supervoxel_segmentation.h:209-237); typical convergence is well under
+    # the num_sweeps bound, and each skipped sweep is a full (n, k+1)
+    # gather+reduce pass.
+    def w_cond(carry):
+        _, changed, it = carry
+        return changed & (it < num_sweeps)
+
+    def w_body(carry):
+        labels, _, it = carry
+        new_labels = sweep(labels)
+        return new_labels, jnp.any(new_labels != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        w_cond, w_body, (labels, jnp.asarray(True), jnp.asarray(0))
+    )
 
     # --- Compact labels to 0..K-1 (supervoxel_segmentation.h:239-247).
     used = jnp.zeros((n,), jnp.int32).at[labels].max(
