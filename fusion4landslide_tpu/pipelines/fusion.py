@@ -176,6 +176,18 @@ def coarse_match_superpoints(
     return tgt_of_src, valid
 
 
+@jax.jit
+def _sparse_assign_core(tgt_pts, moved_q, radius_nn):
+    """Grid-bounded 1-NN of the moved points among the target cloud in one
+    jitted dispatch (the eager grid-build composite cost ~10 device round
+    trips per tile)."""
+    from fusion4landslide_tpu.ops.hashgrid import build_hash_grid, hash_grid_knn
+
+    grid = build_hash_grid(tgt_pts, radius_nn)
+    d2, nn_idx, _ = hash_grid_knn(moved_q, grid, radius_nn, k=1)
+    return d2[:, 0], nn_idx[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("P_agg", "s_chunk"))
 def aggregate_superpoints(
     agg_params,
@@ -1140,27 +1152,41 @@ def _fusion_tile_core(
             )
 
     # Dense output: R p + t for every assigned source point (base:3371-3380).
+    # The text-table writes run on a background thread so the sparse
+    # re-association's device work proceeds concurrently; the executor is
+    # joined (propagating any write error) before returning.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writer = ThreadPoolExecutor(max_workers=1)
+    write_futs = []
     with timer.stage("dense_output"):
         moved = np.einsum("nij,nj->ni", merged_R, s) + merged_t
         dense_src = src_core[merged_valid]
         dense_tgt = moved[merged_valid] + center
         dvfs_dense = np.hstack([dense_src, dense_tgt])
+        dvfms = np.hstack(
+            [dvfs_dense[:, :3], dvf_magnitudes(dvfs_dense)[:, None]]
+        )
 
-        save_txt(
-            osp.join(results_dir, f"c2f_dvfs_src2tgt_tile_{tile_id}.txt"),
-            dvfs_dense,
-        )
-        dvfms = save_dvfms(
-            osp.join(results_dir, f"c2f_dvfms_src2tgt_tile_{tile_id}.txt"),
-            dvfs_dense,
-        )
-        if dvfms.shape[0] > 2:
+        def _write_dense(dvfs_dense=dvfs_dense, dvfms=dvfms):
             save_txt(
-                osp.join(
-                    results_dir, f"c2f_dvfms_src2tgt_visualize_tile_{tile_id}.txt"
-                ),
-                visual_clamp_magnitude(dvfms, cfg.get("dataset")),
+                osp.join(results_dir, f"c2f_dvfs_src2tgt_tile_{tile_id}.txt"),
+                dvfs_dense,
             )
+            save_txt(
+                osp.join(results_dir, f"c2f_dvfms_src2tgt_tile_{tile_id}.txt"),
+                dvfms,
+            )
+            if dvfms.shape[0] > 2:
+                save_txt(
+                    osp.join(
+                        results_dir,
+                        f"c2f_dvfms_src2tgt_visualize_tile_{tile_id}.txt",
+                    ),
+                    visual_clamp_magnitude(dvfms, cfg.get("dataset")),
+                )
+
+        write_futs.append(writer.submit(_write_dense))
 
     # Sparse 'assign_then_nn' output: re-associate moved points with actual
     # target points within the adaptive threshold (base:3414-3436).
@@ -1169,26 +1195,31 @@ def _fusion_tile_core(
         with timer.stage("sparse_assign"):
             adaptive = np.maximum(2.0 * merged_rmse[merged_valid], median_res)
             radius_nn = float(np.maximum(adaptive.max(), median_res))
-            grid = build_hash_grid(jnp.asarray(t), radius_nn)
-            d2, nn_idx, _ = hash_grid_knn(
-                jnp.asarray(moved[merged_valid]), grid, radius_nn, k=1
+            nq = int(merged_valid.sum())
+            qb = bucket_size(nq)
+            q = np.zeros((qb, 3), np.float32)
+            q[:nq] = moved[merged_valid]
+            d2, nn_idx = _sparse_assign_core(
+                jnp.asarray(t), jnp.asarray(q),
+                jnp.asarray(radius_nn, jnp.float32),
             )
-            d = np.sqrt(np.asarray(d2)[:, 0])
+            d = np.sqrt(np.asarray(d2)[:nq])
             ok = np.isfinite(d) & (d < adaptive)
-            nn_idx = np.asarray(nn_idx)[:, 0]
+            nn_idx = np.asarray(nn_idx)[:nq]
             dvfs_sparse = np.hstack(
                 [dense_src[ok], t[nn_idx[ok]] + center]
             )
             sparse_ms = np.hstack(
                 [dvfs_sparse[:, :3], dvf_magnitudes(dvfs_sparse)[:, None]]
             )
-            save_txt(
+            write_futs.append(writer.submit(
+                save_txt,
                 osp.join(
                     results_dir,
                     f"c2f_dvfms_src2tgt_discrete_visualize_tile_{tile_id}.txt",
                 ),
                 visual_clamp_magnitude(sparse_ms, cfg.get("dataset")),
-            )
+            ))
 
     # tgt -> src output (base:3386-3393): each matched pair's inverse
     # transform applied to its target patch's points (exact semantics;
@@ -1208,6 +1239,10 @@ def _fusion_tile_core(
                 ]
             ),
         )
+
+    for fut in write_futs:
+        fut.result()
+    writer.shutdown()
 
     if logger:
         logger.info("tile %s stage times:\n%s", tile_id, timer.report())
