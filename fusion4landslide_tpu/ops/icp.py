@@ -91,39 +91,43 @@ def icp_point2point(
         return fitness, rmse, cnt
 
     def cond(state):
-        R, t, fit, rmse, it, done = state
-        return (~done) & (it < max_iter)
+        return (~state[-1]) & (state[-2] < max_iter)
 
     def body(state):
-        R, t, fit_prev, rmse_prev, it, _ = state
-        idx, inlier, sqd = correspondences(R, t)
+        # One 1-NN search per iteration: the correspondence set carried in
+        # the state was searched under the CURRENT (R, t) at the end of the
+        # previous iteration, so it seeds this iteration's rigid fit
+        # directly — the naive loop searches twice (fit + convergence
+        # metrics) and re-searches the same transform on re-entry.
+        R, t, fit_prev, rmse_prev, idx, inlier, it, _ = state
         matched = jnp.take(tgt, idx, axis=0)
         R_new, t_new, _, ok = weighted_kabsch(
             src, matched, weights=inlier.astype(src.dtype)
         )
         R = jnp.where(ok, R_new, R)
         t = jnp.where(ok, t_new, t)
-        _, inlier2, sqd2 = correspondences(R, t)
+        idx2, inlier2, sqd2 = correspondences(R, t)
         fit, rmse, _ = metrics(inlier2, sqd2)
         done = (jnp.abs(fit - fit_prev) < rel_tol) & (
             jnp.abs(rmse - rmse_prev) < rel_tol
         )
         done = done | ~ok  # degenerate fit: stop iterating
-        return (R, t, fit, rmse, it + 1, done)
+        return (R, t, fit, rmse, idx2, inlier2, it + 1, done)
 
     idx0, inlier0, sqd0 = correspondences(R0, t0)
     fit0, rmse0, _ = metrics(inlier0, sqd0)
-    state = (R0, t0, fit0, rmse0, jnp.int32(0), jnp.bool_(False))
-    R, t, fit, rmse, _, _ = jax.lax.while_loop(cond, body, state)
-
-    idx, inlier, sqd = correspondences(R, t)
-    fitness, inlier_rmse, cnt = metrics(inlier, sqd)
+    state = (
+        R0, t0, fit0, rmse0, idx0, inlier0, jnp.int32(0), jnp.bool_(False)
+    )
+    R, t, fitness, inlier_rmse, idx, inlier, _, _ = jax.lax.while_loop(
+        cond, body, state
+    )
     return ICPResult(
         R=R,
         t=t,
         fitness=fitness,
         inlier_rmse=inlier_rmse,
-        n_inliers=cnt.astype(jnp.int32),
+        n_inliers=jnp.sum(inlier).astype(jnp.int32),
         corr_idx=idx,
         corr_inlier=inlier,
     )
