@@ -214,17 +214,22 @@ def _bbox_stats(points, valid):
     return hi - lo, jnp.sum(valid.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cnt_valid",))
-def _masked_median_sq(sq, valid, cnt_valid: int):
-    """(median of sqrt(sq) over found rows, found count) in one dispatch."""
-    d = jnp.sqrt(sq)
+@jax.jit
+def _median_attempt(points, valid, radius, cnt_valid):
+    """One radius attempt — grid build + bounded 1-NN + masked median —
+    as a single dispatch (the eager composite cost ~10 device round trips
+    per attempt per cloud on the tunnelled TPU)."""
+    from fusion4landslide_tpu.ops.hashgrid import build_hash_grid, hash_grid_knn
+
+    grid = build_hash_grid(points, radius, valid)
+    sqd, _, _ = hash_grid_knn(points, grid, radius, 1, exclude_self=True)
+    d = jnp.sqrt(sqd[:, 0])
     found = valid & jnp.isfinite(d)
     d_sorted = jnp.sort(jnp.where(found, d, jnp.inf))
-    lo_i = max((cnt_valid - 1) // 2, 0)
-    hi_i = cnt_valid // 2
-    return 0.5 * (d_sorted[lo_i] + d_sorted[hi_i]), jnp.sum(
-        found.astype(jnp.int32)
-    )
+    lo_i = jnp.maximum((cnt_valid - 1) // 2, 0)
+    hi_i = jnp.maximum(cnt_valid // 2, 0)
+    med = 0.5 * (jnp.take(d_sorted, lo_i) + jnp.take(d_sorted, hi_i))
+    return med, jnp.sum(found.astype(jnp.int32))
 
 
 def median_nn_distance(
@@ -243,26 +248,25 @@ def median_nn_distance(
 
     n = points.shape[0]
     if pallas_available() and n > 4096:
-        from fusion4landslide_tpu.ops.hashgrid import (
-            build_hash_grid,
-            hash_grid_knn,
-        )
-
         valid = (
             jnp.ones((n,), bool)
             if mask is None
             else jnp.asarray(mask).astype(bool)
         )
+        from fusion4landslide_tpu.ops.segments import bucket_size
+
         ext, cnt_valid = jax.device_get(_bbox_stats(points, valid))
         cnt_valid = int(cnt_valid)
         area = float(max(ext[0], 1e-9) * max(ext[1], 1e-9))
         radius = 4.0 * float(np.sqrt(area / max(cnt_valid, 1)))
+        nb = bucket_size(n)
+        pts_b = jnp.pad(points, ((0, nb - n), (0, 0)))
+        valid_b = jnp.pad(valid, (0, nb - n))
         for _ in range(8):
-            grid = build_hash_grid(points, radius, valid if mask is not None else None)
-            sqd, _, _ = hash_grid_knn(
-                points, grid, radius, 1, exclude_self=True
+            med, n_found = _median_attempt(
+                pts_b, valid_b, jnp.asarray(radius, points.dtype),
+                jnp.asarray(cnt_valid, jnp.int32),
             )
-            med, n_found = _masked_median_sq(sqd[:, 0], valid, cnt_valid)
             if 2 * int(jax.device_get(n_found)) > cnt_valid:
                 return med
             radius *= 2.0
