@@ -38,7 +38,47 @@ __all__ = [
     "colored_icp",
     "color_gradients",
     "ransac_registration",
+    "icp_by_type",
 ]
+
+#: Reference ``icp_type`` names (utils/o3d_tools.py:33-56) -> solver.
+_ICP_TYPES = ("point2point", "point2plane", "generalized_icp", "generalized")
+
+
+def icp_by_type(
+    icp_type: str,
+    src: jax.Array,
+    tgt: jax.Array,
+    max_dist,
+    *,
+    src_mask=None,
+    tgt_mask=None,
+    max_iter: int = 30,
+    R_init=None,
+    t_init=None,
+) -> ICPResult:
+    """Dispatch on the reference's ``icp_type`` config value
+    (utils/o3d_tools.py:33-56: point2point / point2plane / generalized_icp).
+
+    ``icp_type`` must be a static Python string (it selects which solver is
+    traced). Raises ``ValueError`` for unknown names, like the reference's
+    o3d wrapper falling through would."""
+    if icp_type not in _ICP_TYPES:
+        raise ValueError(
+            f"unknown icp_type {icp_type!r}; expected one of {_ICP_TYPES}"
+        )
+    kw = dict(
+        src_mask=src_mask,
+        tgt_mask=tgt_mask,
+        max_iter=max_iter,
+        R_init=R_init,
+        t_init=t_init,
+    )
+    if icp_type == "point2plane":
+        return icp_point2plane(src, tgt, max_dist, **kw)
+    if icp_type in ("generalized_icp", "generalized"):
+        return icp_generalized(src, tgt, max_dist, **kw)
+    return icp_point2point(src, tgt, max_dist, **kw)
 
 
 def _solve_point2plane(src, tgt, normals, w):
@@ -80,11 +120,15 @@ def icp_point2plane(
     rel_tol: float = 1e-6,
     normals_k: int = 16,
     color_weight: jax.Array | None = None,
+    R_init: jax.Array | None = None,
+    t_init: jax.Array | None = None,
 ) -> ICPResult:
     """Point-to-plane ICP of ``src`` onto ``tgt``.
 
     ``color_weight``: optional (n_src, n_tgt)-free per-pair weighting hook —
     pass per-point colours as (n, 3) arrays via :func:`colored_icp` instead.
+    ``R_init``/``t_init`` seed the iteration (the reference seeds ICP with
+    the SVD fit, base:3341-3360).
     """
     n = src.shape[0]
     smask = jnp.ones((n,), bool) if src_mask is None else src_mask.astype(bool)
@@ -130,8 +174,8 @@ def icp_point2plane(
         done = (jnp.abs(fit - fit_p) < rel_tol) & (jnp.abs(rmse - rmse_p) < rel_tol)
         return (R, t, fit, rmse, it + 1, done | ~ok)
 
-    R0 = jnp.eye(3, dtype=src.dtype)
-    t0 = jnp.zeros((3,), src.dtype)
+    R0 = jnp.eye(3, dtype=src.dtype) if R_init is None else R_init
+    t0 = jnp.zeros((3,), src.dtype) if t_init is None else t_init
     _, inl0, sqd0 = correspondences(R0, t0)
     f0, r0, _ = metrics(inl0, sqd0)
     state = (R0, t0, f0, r0, jnp.int32(0), jnp.bool_(False))
@@ -409,6 +453,8 @@ def icp_generalized(
     rel_tol: float = 1e-6,
     normals_k: int = 16,
     epsilon: float = 1e-3,
+    R_init: jax.Array | None = None,
+    t_init: jax.Array | None = None,
 ) -> ICPResult:
     """Generalized ICP (plane-to-plane, Segal et al.) of ``src`` onto
     ``tgt`` — the reference's ``icp_type='generalized_icp'``
@@ -507,8 +553,8 @@ def icp_generalized(
         done = (jnp.abs(fit - fit_p) < rel_tol) & (jnp.abs(rmse - rmse_p) < rel_tol)
         return R, t, fit, rmse, it + 1, done
 
-    R0 = jnp.eye(3, dtype=f32)
-    t0 = jnp.zeros((3,), f32)
+    R0 = jnp.eye(3, dtype=f32) if R_init is None else R_init
+    t0 = jnp.zeros((3,), f32) if t_init is None else t_init
     idx0, inlier0, sqd0 = correspondences(R0, t0)
     fit0, rmse0, _ = metrics(inlier0, sqd0)
     R, t, fit, rmse, _, _ = jax.lax.while_loop(

@@ -300,11 +300,25 @@ def run_fusion3d_tiles_sharded(
     )
     from fusion4landslide_tpu.ops.segments import bucket_size
 
-    if str(cfg.get("partition_type", "supervoxel")) == "superpoint" and logger:
-        logger.warning(
-            "partition_type=superpoint is host-path only; the sharded step "
-            "partitions with multi-level supervoxels"
-        )
+    if str(cfg.get("partition_type", "supervoxel")) == "superpoint":
+        # The device tile step partitions with multi-level supervoxels; a
+        # silent downgrade would make mesh on/off produce different
+        # partitions for this config. Require an explicit opt-in, otherwise
+        # direct the user to the host path (which runs the native
+        # superpoint hierarchy, ops/superpoint.py).
+        if not bool(cfg.get("sharded_partition_fallback", False)):
+            raise ValueError(
+                "partition_type=superpoint is not supported by the sharded "
+                "fusion_3d step (it partitions with multi-level "
+                "supervoxels). Run the host path, or set "
+                "sharded_partition_fallback: true to accept the supervoxel "
+                "partition on the mesh."
+            )
+        if logger:
+            logger.warning(
+                "partition_type=superpoint: sharded step partitions with "
+                "multi-level supervoxels (sharded_partition_fallback: true)"
+            )
     mesh = mesh or tile_mesh()
     n_dev = mesh.devices.size
 
@@ -339,6 +353,7 @@ def run_fusion3d_tiles_sharded(
         member_cap=member_cap,
         agg_max_points=min(int(cfg.get("agg_max_points", 512)), member_cap),
         small_patch=int(cfg.get("num_min_matches_for_small_patch", 10)),
+        icp_type=str(cfg.get("icp_type", "point2point")),
         with_sparse=str(cfg.get("assign_type", "assign_then_nn"))
         == "assign_then_nn",
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),
@@ -694,6 +709,7 @@ def run_rgb_guided_tiles_sharded(
         sv_cap=sv_cap,
         member_cap=member_cap,
         mode=mode,
+        icp_type=str(cfg.get("icp_type", "point2point")),
     )
 
     out_dir = cfg.get("output_root") or os.path.join(

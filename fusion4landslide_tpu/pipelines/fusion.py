@@ -50,8 +50,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from fusion4landslide_tpu.models.aggregation import ClusterFeatureNet
-from fusion4landslide_tpu.ops.icp import icp_point2point
+from fusion4landslide_tpu.ops.icp import icp_point2point  # noqa: F401 (re-export)
 from fusion4landslide_tpu.ops.kabsch import transform_points, weighted_kabsch
+from fusion4landslide_tpu.ops.registration import icp_by_type
 from fusion4landslide_tpu.ops.knn import knn, median_nn_distance, nn1
 from fusion4landslide_tpu.ops.segments import bucket_size, label_members
 from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
@@ -245,7 +246,8 @@ class FinePairResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pair_chunk", "icp_max_iter", "weighting", "fine_max_matches"
+        "pair_chunk", "icp_max_iter", "weighting", "fine_max_matches",
+        "icp_type",
     ),
 )
 def fine_match_pairs(
@@ -267,6 +269,7 @@ def fine_match_pairs(
     num_min_fine: int | jax.Array = 10,
     icp_threshold: float | jax.Array = 0.1,
     icp_max_iter: int = 30,
+    icp_type: str = "point2point",
     pair_chunk: int = 32,
     fine_max_matches: int = 1024,
 ) -> FinePairResult:
@@ -354,9 +357,13 @@ def fine_match_pairs(
             True,
         )
 
-        # SVD fit then ICP seeded with it (base:3341-3360).
+        # SVD fit then ICP seeded with it (base:3341-3360). The reference
+        # hardcodes point2point at this call site but exposes
+        # point2plane/generalized_icp in its toolbox (o3d_tools.py:33-56);
+        # ``icp_type`` (config key of the same name) selects the variant.
         R0, t0, _, _ = weighted_kabsch(src_m, tgt_m, wts)
-        icp = icp_point2point(
+        icp = icp_by_type(
+            icp_type,
             src_m,
             tgt_m,
             icp_threshold,
@@ -570,6 +577,7 @@ def _fusion_tile_core(
 
     max_mag = float(cfg.get("max_magnitude", 10.0))
     icp_thr = float(cfg.get("icp_threshold", 0.1))
+    icp_type = str(cfg.get("icp_type", "point2point"))
     levels = list(cfg.get("level_of_superpoint", [1, 2, 3]) or [1])
     num_min_fine = int(cfg.get("num_min_fine_match", 10))
     num_min_quality = int(cfg.get("num_min_matches_for_quality_check", 10))
@@ -881,12 +889,18 @@ def _fusion_tile_core(
     merged_t = np.zeros((n_src_pts, 3), np.float32)
     merged_valid = np.zeros(n_src_pts, bool)
     merged_rmse = np.zeros(n_src_pts, np.float32)
+    # Which level (index into ``levels``) claimed each point — feeds the
+    # reference's cross-level distance-threshold dedup of the output tables
+    # (coarse_to_fine_matching.py:40-118, applied when partition_type is
+    # 'superpoint' with a level list, :282-287).
+    merged_level = np.full(n_src_pts, -1, np.int8)
     # tgt->src: each matched pair's inverse transform applies to the TARGET
     # patch's points (exact reference semantics, base:3386-3393).
     n_tgt_pts = t.shape[0]
     t2s_R = np.tile(np.eye(3, dtype=np.float32), (n_tgt_pts, 1, 1))
     t2s_t = np.zeros((n_tgt_pts, 3), np.float32)
     t2s_valid = np.zeros(n_tgt_pts, bool)
+    t2s_level = np.full(n_tgt_pts, -1, np.int8)
     per_level_stats = []
 
     # Precomputed superpoint partitions (reference partition_type=
@@ -963,7 +977,7 @@ def _fusion_tile_core(
             neigh_idx=ni, neigh_mask=nm, normals=nrm,
         )
 
-    for level in levels:
+    for li, level in enumerate(levels):
         _log(f"tile {tile_id}: stage partition level {level}")
         with timer.stage(f"partition_l{level}"):
             if use_spt_files:
@@ -1093,6 +1107,7 @@ def _fusion_tile_core(
                     thres_inlier_ratio=thres_ir,
                     num_min_fine=num_min_fine,
                     icp_threshold=icp_thr,
+                    icp_type=icp_type,
                     **fine_kw,
                 )
                 fR = np.asarray(fine.R)[:n_pairs]
@@ -1120,6 +1135,7 @@ def _fusion_tile_core(
             merged_R[take] = lab_R[lbl[take]]
             merged_t[take] = lab_t_arr[lbl[take]]
             merged_rmse[take] = lab_rmse[lbl[take]]
+            merged_level[take] = li
             merged_valid |= take
 
             if out_tgt2src:
@@ -1142,6 +1158,7 @@ def _fusion_tile_core(
                 tl = np.clip(tp_label, 0, None)
                 t2s_R[ttake] = tlab_R[tl[ttake]]
                 t2s_t[ttake] = tlab_t[tl[ttake]]
+                t2s_level[ttake] = li
                 t2s_valid |= ttake
 
             per_level_stats.append((level, n_s, int(fvalid.sum())))
@@ -1159,11 +1176,30 @@ def _fusion_tile_core(
 
     writer = ThreadPoolExecutor(max_workers=1)
     write_futs = []
+    # The reference dedups the per-level output tables by priority with a
+    # distance threshold when partition_type is 'superpoint' with a level
+    # list (coarse_to_fine_matching.py:282-287 ->
+    # merge_correspondences_by_priority_with_distance_threshold, :40-118).
+    use_ref_merge = use_spt_files and len(levels) > 1
+    merge_thr = float(cfg.get("merge_distance_threshold", 1e-3))
+
+    def _ref_merge(rows: np.ndarray, row_level: np.ndarray) -> np.ndarray:
+        from fusion4landslide_tpu.ops.merge import (
+            merge_correspondences_by_priority,
+        )
+
+        return merge_correspondences_by_priority(
+            [rows[row_level == li] for li in range(len(levels))],
+            distance_threshold=merge_thr,
+        )
+
     with timer.stage("dense_output"):
         moved = np.einsum("nij,nj->ni", merged_R, s) + merged_t
         dense_src = src_core[merged_valid]
         dense_tgt = moved[merged_valid] + center
         dvfs_dense = np.hstack([dense_src, dense_tgt])
+        if use_ref_merge:
+            dvfs_dense = _ref_merge(dvfs_dense, merged_level[merged_valid])
         dvfms = np.hstack(
             [dvfs_dense[:, :3], dvf_magnitudes(dvfs_dense)[:, None]]
         )
@@ -1207,8 +1243,12 @@ def _fusion_tile_core(
             ok = np.isfinite(d) & (d < adaptive)
             nn_idx = np.asarray(nn_idx)[:nq]
             dvfs_sparse = np.hstack(
-                [dense_src[ok], t[nn_idx[ok]] + center]
+                [src_core[merged_valid][ok], t[nn_idx[ok]] + center]
             )
+            if use_ref_merge:
+                dvfs_sparse = _ref_merge(
+                    dvfs_sparse, merged_level[merged_valid][ok]
+                )
             sparse_ms = np.hstack(
                 [dvfs_sparse[:, :3], dvf_magnitudes(dvfs_sparse)[:, None]]
             )
@@ -1230,6 +1270,8 @@ def _fusion_tile_core(
             + t2s_t[t2s_valid]
         )
         dvfs_t2s = np.hstack([src_est + center, tgt_core[t2s_valid]])
+        if use_ref_merge:
+            dvfs_t2s = _ref_merge(dvfs_t2s, t2s_level[t2s_valid])
         save_txt(
             osp.join(results_dir, f"c2f_dvfms_tgt2src_tile_{tile_id}.txt"),
             np.hstack(

@@ -212,6 +212,7 @@ class Fusion3DTileResult(NamedTuple):
         "agg_max_points",
         "small_patch",
         "icp_max_iter",
+        "icp_type",
         "fine_max_matches",
         "with_sparse",
         "with_tgt2src",
@@ -244,6 +245,7 @@ def fusion3d_tile_step(
     agg_max_points: int = 512,
     small_patch: int = 10,
     icp_max_iter: int = 30,
+    icp_type: str = "point2point",
     fine_max_matches: int = 1024,
     with_sparse: bool = True,
     with_tgt2src: bool = True,
@@ -384,6 +386,7 @@ def fusion3d_tile_step(
             num_min_fine=num_min_fine,
             icp_threshold=icp_threshold,
             icp_max_iter=icp_max_iter,
+            icp_type=icp_type,
             fine_max_matches=fine_max_matches,
         )
         lab_ok = fine.valid & pair_valid & svalid_s

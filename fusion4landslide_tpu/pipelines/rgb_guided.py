@@ -39,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fusion4landslide_tpu.image.geometry import chain_2d_matches_to_3d, project_points
-from fusion4landslide_tpu.ops.icp import icp_point2point
+from fusion4landslide_tpu.ops.icp import icp_point2point  # noqa: F401
+from fusion4landslide_tpu.ops.registration import icp_by_type
 from fusion4landslide_tpu.ops.kabsch import weighted_kabsch
 from fusion4landslide_tpu.ops.knn import median_nn_distance
 from fusion4landslide_tpu.ops.segments import bucket_size, label_members
@@ -56,7 +57,8 @@ class SupervoxelRefineResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_chunk", "icp_max_iter", "max_matches")
+    jax.jit,
+    static_argnames=("s_chunk", "icp_max_iter", "icp_type", "max_matches"),
 )
 def refine_supervoxels_rigid(
     members: jax.Array,  # (S, P) src point indices per supervoxel
@@ -67,6 +69,7 @@ def refine_supervoxels_rigid(
     *,
     icp_threshold: float | jax.Array = 0.1,
     icp_max_iter: int = 30,
+    icp_type: str = "point2point",
     s_chunk: int = 64,
     max_matches: int = 1024,
 ) -> SupervoxelRefineResult:
@@ -99,7 +102,8 @@ def refine_supervoxels_rigid(
         med = rs[jnp.maximum((jnp.sum(mv) - 1) // 2, 0)]
         inlier = mv & (res < 2.5 * med)
         quality = (jnp.sum(inlier) / jnp.maximum(n_match, 1)) >= 0.70
-        icp = icp_point2point(
+        icp = icp_by_type(
+            icp_type,
             src_m,
             tgt_m,
             icp_threshold,
@@ -298,6 +302,7 @@ def run_rgb_guided_tile(
             jnp.asarray(s),
             jnp.asarray(tgt_match),
             icp_threshold=float(cfg.get("icp_threshold", cfg.get("threshold", 0.1))),
+            icp_type=str(cfg.get("icp_type", "point2point")),
         )
         Rs = np.asarray(ref.R)
         ts = np.asarray(ref.t)

@@ -54,6 +54,7 @@ class RGBGuidedTileResult(NamedTuple):
         "sv_cap",
         "member_cap",
         "mode",
+        "icp_type",
     ),
 )
 def rgb_guided_tile_step(
@@ -79,6 +80,7 @@ def rgb_guided_tile_step(
     sv_cap: int = 1024,
     member_cap: int = 512,
     mode: str = "nn_src_only",
+    icp_type: str = "point2point",
 ) -> RGBGuidedTileResult:
     """One RGB-guided tile, entirely on device (reference
     ``implement_rgb_guided_estimation``, rgb_guided.py:1064-1639)."""
@@ -149,6 +151,7 @@ def rgb_guided_tile_step(
         src,
         tgt_match,
         icp_threshold=icp_threshold,
+        icp_type=icp_type,
     )
 
     # 5. Re-assign ALL source points of quality supervoxels.
