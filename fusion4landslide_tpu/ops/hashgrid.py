@@ -35,7 +35,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["HashGrid", "build_hash_grid", "hash_grid_knn", "nn1_spatial"]
+__all__ = [
+    "HashGrid",
+    "build_hash_grid",
+    "hash_grid_knn",
+    "nn1_spatial",
+    "knn_grid_traced",
+    "median_nn_distance_traced",
+    "radius_sample_grid",
+]
 
 #: Static bound on the dense cell table (int32 entries).
 _MAX_CELLS = 1 << 21
@@ -90,7 +98,9 @@ def build_hash_grid(
     target = jnp.asarray(float(max_cells - 1), dtype)
 
     def grow(c):
-        dims = jnp.floor(extent / c).astype(jnp.int64) + 1
+        # Float product: tiny cells over a large extent overflow an int32
+        # cell count long before the loop converges.
+        dims = jnp.floor(extent / c) + 1.0
         return dims[0] * dims[1] * dims[2] > target
 
     cell_eff = jax.lax.while_loop(grow, lambda c: c * 1.5, cell)
@@ -287,6 +297,273 @@ def _hash_grid_knn_xla(
     d_out = jnp.zeros((n, k), d.dtype).at[qorder].set(d[:n])
     i_out = jnp.zeros((n, k), i.dtype).at[qorder].set(i[:n])
     return d_out, i_out, ov
+
+
+# ---------------------------------------------------------------------------
+# Fully-traced variants (traced radii, no host round trips): these power the
+# device-resident tile steps (pipelines.*_device) where every per-tile scalar
+# — median resolution, patch radius, search bounds — is a tracer, so the
+# eager doubling loops and the Pallas kernels (concrete cell sizes) above are
+# unavailable. The grid build + join are already pure XLA; what follows wraps
+# them in lax.while_loop radius growth and a hash-priority sampler, replacing
+# the O(N·M) blocked brute-force fallbacks that capped sharded fusion tiles
+# at ~64k points.
+# ---------------------------------------------------------------------------
+
+
+def _masked_median(vals: jax.Array, valid: jax.Array) -> jax.Array:
+    s = jnp.sort(jnp.where(valid, vals, jnp.inf))
+    cnt = jnp.sum(valid)
+    lo = jnp.maximum((cnt - 1) // 2, 0)
+    hi = jnp.maximum(cnt // 2, 0)
+    return 0.5 * (jnp.take(s, lo) + jnp.take(s, hi))
+
+
+def _density_radius(points: jax.Array, valid: jax.Array) -> jax.Array:
+    """Initial search radius from the horizontal bounding-box density
+    (matches the eager paths' 4*sqrt(area/n) heuristic)."""
+    big = jnp.asarray(3e38, points.dtype)
+    lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
+    ext = jnp.maximum(hi - lo, 0.0)
+    area = jnp.maximum(ext[0], 1e-9) * jnp.maximum(ext[1], 1e-9)
+    cnt = jnp.maximum(jnp.sum(valid), 1)
+    return 4.0 * jnp.sqrt(area / cnt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "cap", "query_block", "exclude_self", "max_doublings"
+    ),
+)
+def knn_grid_traced(
+    query: jax.Array,
+    ref: jax.Array,
+    k: int,
+    r0: jax.Array | float | None = None,
+    ref_mask: jax.Array | None = None,
+    query_mask: jax.Array | None = None,
+    *,
+    r_max: jax.Array | float | None = None,
+    cap: int = 48,
+    query_block: int = 4096,
+    exclude_self: bool = False,
+    max_doublings: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Radius-growing grid kNN, fully traceable (traced ``r0``/``r_max``).
+
+    Doubles the search radius from ``r0`` (default: bounding-box density
+    estimate) until every unmasked query has k in-radius neighbours, the
+    radius exceeds ``r_max``, or ``max_doublings`` attempts ran. Queries
+    finished in an earlier (smaller-radius, finer-grid) attempt keep that
+    attempt's result. Neighbours are exact within the attempt radius while
+    cell occupancy stays within ``cap``.
+
+    Returns (sqdist (n, k), idx (n, k)); unfound slots are +inf / 0.
+    """
+    n = query.shape[0]
+    qv = (
+        jnp.ones((n,), bool)
+        if query_mask is None
+        else jnp.asarray(query_mask).astype(bool)
+    )
+    rv = (
+        jnp.ones((ref.shape[0],), bool)
+        if ref_mask is None
+        else jnp.asarray(ref_mask).astype(bool)
+    )
+    if r0 is None:
+        r0 = _density_radius(ref, rv)
+    r0 = jnp.asarray(r0, query.dtype)
+    rmaxv = (
+        jnp.asarray(jnp.inf, query.dtype)
+        if r_max is None
+        else jnp.asarray(r_max, query.dtype)
+    )
+
+    def cond(state):
+        radius, best_d, best_i, it = state
+        unfinished = qv & ~jnp.isfinite(best_d[:, k - 1])
+        return jnp.any(unfinished) & (it < max_doublings) & (radius <= rmaxv)
+
+    def body(state):
+        radius, best_d, best_i, it = state
+        grid = build_hash_grid(ref, radius, rv)
+        d, i, _ = _hash_grid_knn_xla(
+            query, grid, radius, k,
+            cap=cap, query_block=query_block, exclude_self=exclude_self,
+        )
+        done = jnp.isfinite(best_d[:, k - 1])
+        best_d = jnp.where(done[:, None], best_d, d)
+        best_i = jnp.where(done[:, None], best_i, i)
+        return (radius * 2.0, best_d, best_i, it + 1)
+
+    init = (
+        r0,
+        jnp.full((n, k), jnp.inf, query.dtype),
+        jnp.zeros((n, k), jnp.int32),
+        jnp.int32(0),
+    )
+    _, best_d, best_i, _ = jax.lax.while_loop(cond, body, init)
+    return best_d, best_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "query_block", "max_doublings")
+)
+def median_nn_distance_traced(
+    points: jax.Array,
+    mask: jax.Array | None = None,
+    *,
+    cap: int = 48,
+    query_block: int = 8192,
+    max_doublings: int = 8,
+) -> jax.Array:
+    """Median nearest-other-point distance, fully traceable.
+
+    Same exactness argument as :func:`ops.knn.median_nn_distance`: the
+    radius doubles until over half the points found an in-radius
+    neighbour; every distance below the median has then been found
+    exactly, so the masked median is exact.
+    """
+    n = points.shape[0]
+    valid = (
+        jnp.ones((n,), bool)
+        if mask is None
+        else jnp.asarray(mask).astype(bool)
+    )
+    cnt = jnp.maximum(jnp.sum(valid), 1)
+    r0 = _density_radius(points, valid)
+
+    def cond(state):
+        radius, med, found, it = state
+        return (2 * found <= cnt) & (it < max_doublings)
+
+    def body(state):
+        radius, med, found, it = state
+        grid = build_hash_grid(points, radius, valid)
+        d, _, _ = _hash_grid_knn_xla(
+            points, grid, radius, 1,
+            cap=cap, query_block=query_block, exclude_self=True,
+        )
+        dd = jnp.sqrt(d[:, 0])
+        ok = valid & jnp.isfinite(dd)
+        med = _masked_median(dd, ok)
+        return (radius * 2.0, med, jnp.sum(ok), it + 1)
+
+    init = (r0, jnp.asarray(jnp.inf, points.dtype), jnp.int32(0), jnp.int32(0))
+    _, med, _, _ = jax.lax.while_loop(cond, body, init)
+    return med
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "cap", "query_block")
+)
+def radius_sample_grid(
+    query: jax.Array,
+    grid: HashGrid,
+    radius: jax.Array | float,
+    seed: jax.Array | int,
+    *,
+    num_samples: int = 256,
+    cap: int = 64,
+    query_block: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """Uniform random in-radius sample per query, fully traceable.
+
+    Traced counterpart of the Pallas window sampler
+    (:func:`ops.hashgrid_pallas.radius_sample_window`) with the same
+    semantics: per-candidate uniform priorities from an integer hash of
+    (point index, seed), the query point itself excluded by the
+    ``d² > r²·1e-6`` test, the ``num_samples`` smallest priorities kept.
+    Each of the 27 neighbour cells contributes at most ``cap`` run entries;
+    pre-shuffle the reference cloud for unbiased samples where occupancy
+    exceeds ``cap``.
+
+    Returns:
+        coords: (n, num_samples, 3) sampled reference coordinates (0 pad).
+        valid: (n, num_samples) bool.
+    """
+    n = query.shape[0]
+    m = grid.points.shape[0]
+    radius = jnp.asarray(radius, query.dtype)
+    r2 = radius * radius
+    seed = jnp.asarray(seed, jnp.uint32)
+    offsets = _neighbor_offsets()
+    dims = grid.dims
+
+    qcell_all = jnp.clip(
+        jnp.floor((query - grid.origin) / grid.cell).astype(jnp.int32),
+        0,
+        dims - 1,
+    )
+    qlin = (
+        qcell_all[:, 0] * dims[1] + qcell_all[:, 1]
+    ) * dims[2] + qcell_all[:, 2]
+    qorder = jnp.argsort(qlin)
+    q_sorted = jnp.take(query, qorder, axis=0)
+    qcell_sorted = jnp.take(qcell_all, qorder, axis=0)
+
+    nb = -(-n // query_block)
+    n_pad = nb * query_block
+    qp = jnp.pad(q_sorted, ((0, n_pad - n), (0, 0)))
+    qc = jnp.pad(qcell_sorted, ((0, n_pad - n), (0, 0)))
+
+    def one_block(args):
+        q, qcell = args  # (B, 3), (B, 3)
+        B = q.shape[0]
+        nc = qcell[:, None, :] + offsets[None, :, :]
+        in_grid = jnp.all((nc >= 0) & (nc < dims[None, None, :]), axis=-1)
+        ncl = jnp.clip(nc, 0, dims - 1)
+        nlin = (ncl[..., 0] * dims[1] + ncl[..., 1]) * dims[2] + ncl[..., 2]
+        start = jnp.where(in_grid, jnp.take(grid.starts, nlin), 0)
+        end = jnp.where(in_grid, jnp.take(grid.starts, nlin + 1), 0)
+        lane = jnp.arange(cap)
+        pos = (start[..., None] + lane).reshape(B, 27 * cap)
+        in_run = pos < jnp.repeat(end, cap, axis=1)
+        pos_c = jnp.clip(pos, 0, m - 1)
+        d2 = None
+        for d in range(3):
+            cd = jnp.take(grid.points[:, d], pos_c) - q[:, None, d]
+            d2 = cd * cd if d2 is None else d2 + cd * cd
+        cand_idx = jnp.take(grid.index, pos_c)
+        # Uniform [0,1) priority per candidate point (same integer hash as
+        # the Pallas sampler, backend-independent and reproducible).
+        x = cand_idx.astype(jnp.uint32) * jnp.uint32(2654435761) + seed
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x45D9F3B)
+        x = x ^ (x >> 16)
+        pri = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+        keep = in_run & (d2 <= r2) & (d2 > r2 * 1e-6)
+        keyed = jnp.where(keep, pri, jnp.inf)
+        neg, sel = jax.lax.top_k(-keyed, num_samples)
+        sel_valid = jnp.isfinite(neg)
+        coords = jnp.stack(
+            [
+                jnp.take_along_axis(
+                    jnp.take(grid.points[:, d], pos_c), sel, axis=1
+                )
+                for d in range(3)
+            ],
+            axis=-1,
+        )
+        return jnp.where(sel_valid[..., None], coords, 0.0), sel_valid
+
+    if nb == 1:
+        coords, valid = one_block((qp, qc))
+    else:
+        coords, valid = jax.lax.map(
+            one_block,
+            (qp.reshape(nb, query_block, 3), qc.reshape(nb, query_block, 3)),
+        )
+        coords = coords.reshape(n_pad, num_samples, 3)
+        valid = valid.reshape(n_pad, num_samples)
+    out_c = jnp.zeros((n, num_samples, 3), coords.dtype).at[qorder].set(
+        coords[:n]
+    )
+    out_v = jnp.zeros((n, num_samples), bool).at[qorder].set(valid[:n])
+    return out_c, out_v
 
 
 def nn1_spatial(
