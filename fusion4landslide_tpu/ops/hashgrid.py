@@ -381,6 +381,9 @@ def knn_grid_traced(
         if r_max is None
         else jnp.asarray(r_max, query.dtype)
     )
+    # Guarantee the first attempt runs even when the density estimate
+    # exceeds the caller's bound.
+    r0 = jnp.minimum(r0, rmaxv)
 
     def cond(state):
         radius, best_d, best_i, it = state
@@ -458,7 +461,7 @@ def median_nn_distance_traced(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "cap", "query_block")
+    jax.jit, static_argnames=("num_samples", "cap", "query_block", "priority")
 )
 def radius_sample_grid(
     query: jax.Array,
@@ -469,17 +472,19 @@ def radius_sample_grid(
     num_samples: int = 256,
     cap: int = 64,
     query_block: int = 2048,
+    priority: str = "random",
 ) -> tuple[jax.Array, jax.Array]:
-    """Uniform random in-radius sample per query, fully traceable.
+    """In-radius sample per query, fully traceable.
 
     Traced counterpart of the Pallas window sampler
     (:func:`ops.hashgrid_pallas.radius_sample_window`) with the same
-    semantics: per-candidate uniform priorities from an integer hash of
-    (point index, seed), the query point itself excluded by the
-    ``d² > r²·1e-6`` test, the ``num_samples`` smallest priorities kept.
-    Each of the 27 neighbour cells contributes at most ``cap`` run entries;
-    pre-shuffle the reference cloud for unbiased samples where occupancy
-    exceeds ``cap``.
+    semantics: ``priority='random'`` draws uniform priorities from an
+    integer hash of (point index, seed); ``priority='distance'`` keeps the
+    nearest candidates. The query point itself is excluded by the
+    ``d² > r²·1e-6`` test and the ``num_samples`` smallest priorities are
+    kept. Each of the 27 neighbour cells contributes at most ``cap`` run
+    entries; pre-shuffle the reference cloud for unbiased samples where
+    occupancy exceeds ``cap``.
 
     Returns:
         coords: (n, num_samples, 3) sampled reference coordinates (0 pad).
@@ -527,14 +532,17 @@ def radius_sample_grid(
         for d in range(3):
             cd = jnp.take(grid.points[:, d], pos_c) - q[:, None, d]
             d2 = cd * cd if d2 is None else d2 + cd * cd
-        cand_idx = jnp.take(grid.index, pos_c)
-        # Uniform [0,1) priority per candidate point (same integer hash as
-        # the Pallas sampler, backend-independent and reproducible).
-        x = cand_idx.astype(jnp.uint32) * jnp.uint32(2654435761) + seed
-        x = x ^ (x >> 16)
-        x = x * jnp.uint32(0x45D9F3B)
-        x = x ^ (x >> 16)
-        pri = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+        if priority == "distance":
+            pri = d2
+        else:
+            # Uniform [0,1) priority per candidate point (same integer hash
+            # as the Pallas sampler, backend-independent and reproducible).
+            cand_idx = jnp.take(grid.index, pos_c)
+            x = cand_idx.astype(jnp.uint32) * jnp.uint32(2654435761) + seed
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x45D9F3B)
+            x = x ^ (x >> 16)
+            pri = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
         keep = in_run & (d2 <= r2) & (d2 > r2 * 1e-6)
         keyed = jnp.where(keep, pri, jnp.inf)
         neg, sel = jax.lax.top_k(-keyed, num_samples)

@@ -36,7 +36,11 @@ from fusion4landslide_tpu.ops.eig3 import smallest_eigenvector_sym3x3
 
 from fusion4landslide_tpu.ops.knn import knn
 
-__all__ = ["extract_lrf_patches", "lrf_patches_from_samples"]
+__all__ = [
+    "extract_lrf_patches",
+    "lrf_patches_from_samples",
+    "lrf_patches_from_knn",
+]
 
 _EPS = 1e-6
 
@@ -68,9 +72,29 @@ def extract_lrf_patches(
     Returns:
         (n, num_points, 3) patches in each point's LRF, scaled by 1/radius.
     """
-    n = query.shape[0]
-    radius = jnp.asarray(radius, query.dtype)
     sqd, idx = knn(query, support, k_max, support_mask)
+    return lrf_patches_from_knn(
+        query, support, sqd, idx, radius, key, num_points=num_points
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_points",))
+def lrf_patches_from_knn(
+    query: jax.Array,
+    support: jax.Array,
+    sqd: jax.Array,  # (n, k_max) ascending squared distances (+inf pad)
+    idx: jax.Array,  # (n, k_max)
+    radius: jax.Array | float,
+    key: jax.Array,
+    *,
+    num_points: int = 256,
+) -> jax.Array:
+    """LRF patches from a precomputed ascending kNN table — shared tail of
+    :func:`extract_lrf_patches`, also fed by the traced grid kNN
+    (``ops.hashgrid.knn_grid_traced``) in the device tile steps."""
+    n = query.shape[0]
+    k_max = sqd.shape[1]
+    radius = jnp.asarray(radius, query.dtype)
     dist = jnp.sqrt(sqd)
     valid = jnp.isfinite(dist) & (dist <= radius)  # (n, k)
 

@@ -110,6 +110,22 @@ def supervoxel_graph(
         neigh_idx = jnp.take_along_axis(cand_i, sel, axis=1)
         neigh_mask = jnp.isfinite(-neg)
         neigh_idx = jnp.where(neigh_mask, neigh_idx, 0)
+    elif isinstance(resolution, jax.core.Tracer) or isinstance(
+        points, jax.core.Tracer
+    ):
+        # Device-resident tile steps (traced inputs): radius-growing grid
+        # kNN bounded at the VCCS radius, like the Pallas path above — the
+        # brute-force O(n^2) fallback capped sharded tiles at ~64k points.
+        from fusion4landslide_tpu.ops.hashgrid import knn_grid_traced
+
+        sqd, neigh_idx = knn_grid_traced(
+            points, points, k_neighbors,
+            ref_mask=valid, query_mask=valid,
+            r_max=jnp.asarray(resolution, points.dtype),
+            exclude_self=True,
+        )
+        neigh_mask = jnp.isfinite(sqd)
+        neigh_idx = jnp.where(neigh_mask, neigh_idx, 0)
     else:
         sqd, neigh_idx = knn(points, points, k_neighbors, valid)
         neigh_mask = jnp.isfinite(sqd)

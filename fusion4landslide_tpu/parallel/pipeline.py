@@ -154,6 +154,8 @@ def run_f2s3_tiles_sharded(
         k_max=int(cfg.get("feat_k_max", 512)),
         patch_points=int(cfg.get("feat_patch_points", 256)),
         feat_dtype=cfg.get("feat_dtype"),
+        sample_cap=int(cfg.get("feat_sample_cap", 48)),
+        sample_priority=str(cfg.get("feat_sample_priority", "knn")),
         chunk=chunk,
         k_neighbors=int(cfg.get("n_normals", 30)),
         sv_cap=sv_cap,
@@ -329,18 +331,6 @@ def run_fusion3d_tiles_sharded(
         n_bucket = bucket_size(max(t[1].shape[0] for t in tiles))
         m_bucket = bucket_size(max(t[2].shape[0] for t in tiles))
     N, M = n_bucket, m_bucket
-    if max(N, M) > 65536 and logger:
-        # The fully-traced tile step searches LRF neighbourhoods with a
-        # blocked O(N*M) kNN (its radius is traced, so the O(N) grid
-        # sampler's static-radius kernel can't be used); past ~64k points
-        # per tile it loses to the host path and has exhausted device
-        # memory on v5e. Retile more finely (max_points_per_tile) instead.
-        logger.warning(
-            "sharded fusion_3d with %dk-point tile buckets: the device "
-            "step scales quadratically past 64k points/tile — use a "
-            "smaller max_points_per_tile",
-            max(N, M) // 1024,
-        )
     sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
     member_cap = int(cfg.get("member_cap", 0)) or 512
     statics = dict(
@@ -348,6 +338,8 @@ def run_fusion3d_tiles_sharded(
         k_max=int(cfg.get("feat_k_max", 512)),
         patch_points=int(cfg.get("feat_patch_points", 256)),
         feat_dtype=cfg.get("feat_dtype"),
+        sample_cap=int(cfg.get("feat_sample_cap", 48)),
+        sample_priority=str(cfg.get("feat_sample_priority", "knn")),
         chunk=min(int(cfg.get("feat_chunk", 2048)), N),
         sv_cap=sv_cap,
         member_cap=member_cap,

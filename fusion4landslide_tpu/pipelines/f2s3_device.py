@@ -34,8 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from fusion4landslide_tpu.models.dips import PointNetFeature
-from fusion4landslide_tpu.ops.knn import knn, nn1
-from fusion4landslide_tpu.ops.lrf import extract_lrf_patches
+from fusion4landslide_tpu.ops.knn import nn1
 from fusion4landslide_tpu.ops.segments import label_members
 from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
 from fusion4landslide_tpu.pipelines.f2s3 import filter_supervoxel_buckets
@@ -69,37 +68,99 @@ def dips_features_device(
     k_max: int = 512,
     patch_points: int = 256,
     chunk: int = 2048,
+    sample_cap: int = 48,
+    sample_priority: str = "knn",
     precision: str = "default",
     dtype: str | None = None,
 ) -> jax.Array:
     """(n, 64) DIPs descriptors, fully traceable (traced ``radius``).
 
     Same math as ``pipelines.f2s3.compute_dips_features`` (reference
-    src/f2s3.py:91-154 + src/data_loader.py:42-106) via the portable
-    kNN-based LRF extractor, chunked over query points.
+    src/f2s3.py:91-154 + src/data_loader.py:42-106). This replaces the
+    round-2 blocked O(n·m) kNN that capped sharded tiles at ~64k points
+    with radius-growing grid searches (``ops.hashgrid``).
+
+    ``sample_priority``:
+
+    - ``'knn'`` (default): the ``k_max`` *nearest* in-radius neighbours
+      (exact, grid-accelerated) with a random ``patch_points`` subsample —
+      the same semantics as the round-2 device path. Deterministic support
+      sets keep descriptors repeatable across the two epochs' clouds.
+    - ``'random'``: a uniform random ball subsample via the traced grid
+      sampler — the reference's ``np.random.choice`` over the full ball
+      (data_loader.py:104) and the host TPU Pallas path. Statistically
+      sound at the production ``patch_points=256``; noisier for tiny test
+      patches, and per-cloud sampling noise decorrelates the two epochs'
+      descriptors slightly.
     """
     model = PointNetFeature(precision=precision, dtype=dtype)
     n = query.shape[0]
+    m = support.shape[0]
     chunk = min(chunk, n)
     pad = (-n) % chunk
     q = jnp.pad(query, ((0, pad), (0, 0)))
     n_chunks = q.shape[0] // chunk
+
+    from fusion4landslide_tpu.ops.hashgrid import (
+        build_hash_grid,
+        knn_grid_traced,
+        radius_sample_grid,
+    )
+    from fusion4landslide_tpu.ops.lrf import (
+        lrf_patches_from_neighbors,
+        lrf_patches_from_knn,
+    )
+
+    if sample_priority == "random":
+        k_perm, k_seed = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, m)
+        sup_p = jnp.take(support, perm, axis=0)
+        msk_p = (
+            None
+            if support_mask is None
+            else jnp.take(jnp.asarray(support_mask).astype(bool), perm)
+        )
+        grid = build_hash_grid(sup_p, radius, msk_p)
+        seed = jax.random.randint(
+            k_seed, (), 0, jnp.iinfo(jnp.int32).max
+        ).astype(jnp.uint32)
+
+        def one_rand(qc):
+            coords, valid = radius_sample_grid(
+                qc, grid, radius, seed,
+                num_samples=patch_points, cap=sample_cap, query_block=chunk,
+            )
+            patches = lrf_patches_from_neighbors(qc, coords, valid, radius)
+            return model.apply(dips_params, patches)
+
+        feats = jax.lax.map(one_rand, q.reshape(n_chunks, chunk, 3))
+        return feats.reshape(-1, feats.shape[-1])[:n]
+
+    # 'knn': exact nearest-k_max within the radius, one growing-grid search
+    # over ALL queries (the (n, k_max) neighbour table lives in HBM once),
+    # then LRF + network chunked.
+    cap = max(sample_cap, -(-k_max // 27))
+    sqd, idx = knn_grid_traced(
+        q, support, k_max, ref_mask=support_mask, r_max=radius, cap=cap,
+    )
     keys = jax.random.split(key, n_chunks)
 
     def one(args):
-        qc, k = args
-        patches = extract_lrf_patches(
-            qc,
-            support,
-            radius,
-            k,
-            k_max=k_max,
-            num_points=patch_points,
-            support_mask=support_mask,
+        qc, dc, ic, kc = args
+        patches = lrf_patches_from_knn(
+            qc, support, dc, ic, radius, kc, num_points=patch_points
         )
         return model.apply(dips_params, patches)
 
-    feats = jax.lax.map(one, (q.reshape(n_chunks, chunk, 3), keys))
+    feats = jax.lax.map(
+        one,
+        (
+            q.reshape(n_chunks, chunk, 3),
+            sqd.reshape(n_chunks, chunk, k_max),
+            idx.reshape(n_chunks, chunk, k_max),
+            keys,
+        ),
+    )
     return feats.reshape(-1, feats.shape[-1])[:n]
 
 
@@ -155,6 +216,9 @@ class F2S3TileResult(NamedTuple):
         "num_layers",
         "with_c2c",
         "precision",
+        "feat_dtype",
+        "sample_cap",
+        "sample_priority",
     ),
 )
 def f2s3_tile_step(
@@ -181,6 +245,8 @@ def f2s3_tile_step(
     with_c2c: bool = True,
     precision: str = "default",
     feat_dtype: str | None = None,
+    sample_cap: int = 48,
+    sample_priority: str = "knn",
 ) -> F2S3TileResult:
     """One F2S3 tile, entirely on device (reference stage map in the module
     docstring of ``pipelines.f2s3``; per-stage citations there).
@@ -193,13 +259,12 @@ def f2s3_tile_step(
     tmask = tmask.astype(bool)
     k1, k2 = jax.random.split(key)
 
-    # 1. median resolution -> patch radius (f2s3.py:106, 481-507).
-    sq_s, _ = knn(src, src, 1, smask, exclude_self=True)
-    sq_t, _ = knn(tgt, tgt, 1, tmask, exclude_self=True)
-    d_s = jnp.sqrt(sq_s[:, 0])
-    d_t = jnp.sqrt(sq_t[:, 0])
-    res_s = masked_median(d_s, smask & jnp.isfinite(d_s))
-    res_t = masked_median(d_t, tmask & jnp.isfinite(d_t))
+    # 1. median resolution -> patch radius (f2s3.py:106, 481-507) — traced
+    # grid search (the blocked O(N·M) kNN capped sharded tiles at ~64k).
+    from fusion4landslide_tpu.ops.hashgrid import median_nn_distance_traced
+
+    res_s = median_nn_distance_traced(src, smask)
+    res_t = median_nn_distance_traced(tgt, tmask)
     median_res = jnp.maximum(res_s, res_t)
     radius = jnp.sqrt(3.0) * 10.0 * median_res
 
@@ -207,6 +272,7 @@ def f2s3_tile_step(
     feat_kw = dict(
         k_max=k_max, patch_points=patch_points, chunk=chunk,
         precision=precision, dtype=feat_dtype,
+        sample_cap=sample_cap, sample_priority=sample_priority,
     )
     src_feat = dips_features_device(
         dips_params, src, src, smask, radius, k1, **feat_kw
@@ -265,10 +331,16 @@ def f2s3_tile_step(
     keep = keep & ((max_disp <= 0) | (mag <= max_disp))
     mag = jnp.where(keep, mag, 0.0)
 
-    # 7. C2C spatial 1-NN for the gap fill (f2s3.py:452-477).
+    # 7. C2C spatial 1-NN for the gap fill (f2s3.py:452-477) — traced
+    # radius-growing grid search (unbounded distances reached by doubling).
     if with_c2c:
-        c2c_sq, _ = nn1(src, tgt, tmask)
-        c2c = jnp.sqrt(c2c_sq)
+        from fusion4landslide_tpu.ops.hashgrid import knn_grid_traced
+
+        c2c_sq, _ = knn_grid_traced(
+            src, tgt, 1, r0=4.0 * median_res, ref_mask=tmask,
+            query_mask=smask, max_doublings=10,
+        )
+        c2c = jnp.sqrt(c2c_sq[:, 0])
     else:
         c2c = jnp.full((n,), jnp.inf, f32)
 

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from fusion4landslide_tpu.models.aggregation import ClusterFeatureNet
-from fusion4landslide_tpu.ops.knn import knn, nn1
 from fusion4landslide_tpu.ops.segments import label_members
 from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
 from fusion4landslide_tpu.ops.voxel import voxel_downsample
@@ -217,6 +216,9 @@ class Fusion3DTileResult(NamedTuple):
         "with_sparse",
         "with_tgt2src",
         "precision",
+        "feat_dtype",
+        "sample_cap",
+        "sample_priority",
     ),
 )
 def fusion3d_tile_step(
@@ -251,6 +253,8 @@ def fusion3d_tile_step(
     with_tgt2src: bool = True,
     precision: str = "default",
     feat_dtype: str | None = None,
+    sample_cap: int = 48,
+    sample_priority: str = "knn",
 ) -> Fusion3DTileResult:
     """One fusion_3d tile, entirely on device. Stage citations in
     ``pipelines.fusion`` (host path); this function reproduces the same
@@ -263,12 +267,15 @@ def fusion3d_tile_step(
     k_s, k_t = jax.random.split(key)
 
     # 1. median resolution (base:2716-2754) + adaptive voxel subsampling
-    # (base:1012-1057).
-    sq_s, _ = knn(src, src, 1, smask, exclude_self=True)
-    sq_t, _ = knn(tgt, tgt, 1, tmask, exclude_self=True)
-    d_s, d_t = jnp.sqrt(sq_s[:, 0]), jnp.sqrt(sq_t[:, 0])
-    res_s = masked_median(d_s, smask & jnp.isfinite(d_s))
-    res_t = masked_median(d_t, tmask & jnp.isfinite(d_t))
+    # (base:1012-1057) — traced grid search (the blocked O(N·M) kNN capped
+    # sharded tiles at ~64k points).
+    from fusion4landslide_tpu.ops.hashgrid import (
+        knn_grid_traced,
+        median_nn_distance_traced,
+    )
+
+    res_s = median_nn_distance_traced(src, smask)
+    res_t = median_nn_distance_traced(tgt, tmask)
     median_res = jnp.maximum(res_s, res_t)
     radius = jnp.sqrt(3.0) * 10.0 * median_res
 
@@ -282,6 +289,7 @@ def fusion3d_tile_step(
     feat_kw = dict(
         k_max=k_max, patch_points=patch_points, chunk=chunk,
         precision=precision, dtype=feat_dtype,
+        sample_cap=sample_cap, sample_priority=sample_priority,
     )
     src_feat = dips_features_device(
         dips_params, s_cent, src, smask, radius, k_s, **feat_kw
@@ -449,11 +457,18 @@ def fusion3d_tile_step(
     moved = jnp.where(merged_valid[:, None], moved, src)
 
     # Sparse assign_then_nn (base:3414-3436): re-associate moved points with
-    # actual target points within max(2·rmse, median_res).
+    # actual target points within max(2·rmse, median_res). Bounded grid
+    # search: points with no neighbour inside the largest adaptive
+    # threshold are correctly unmatched, so the bounded result is exact.
     if with_sparse:
-        nn_sq, nn_i = nn1(moved, tgt, tmask)
-        nn_d = jnp.sqrt(nn_sq)
         adaptive = jnp.maximum(2.0 * merged_rmse, median_res)
+        r_need = jnp.max(jnp.where(merged_valid, adaptive, 0.0))
+        nn_sq, nn_i = knn_grid_traced(
+            moved, tgt, 1, r0=2.0 * median_res, ref_mask=tmask,
+            query_mask=merged_valid, r_max=r_need * 1.001,
+        )
+        nn_d = jnp.sqrt(nn_sq[:, 0])
+        nn_i = nn_i[:, 0]
         sparse_ok = merged_valid & jnp.isfinite(nn_d) & (nn_d < adaptive)
         sparse_tgt = jnp.take(tgt, nn_i, axis=0)
     else:
