@@ -1,0 +1,405 @@
+"""Full-tile oracle tests against the REFERENCE implementation.
+
+BASELINE.md's accuracy north star is "<1 mm median displacement error vs
+reference DVF". The reference runtime (CUDA/Open3D/hnswlib) cannot run
+here, but its *algorithm* can: these tests import the reference's own
+modules (mounted read-only at /root/reference) and drive its
+correspondence-pruning semantics directly — the shipped
+``outlier_classifier_best.pt`` weights through the reference
+``FilteringNetwork.filter_input`` + ``kabsch_transformation_estimation``
+(src/f2s3.py:321-479) — and a faithful numpy port of the fusion fine
+matcher (src/coarse_to_fine_matching_base.py:3236-3436, numpy because its
+ICP dependency is Open3D). Both consume the SAME features/partitions as
+the TPU pipeline, so the comparison isolates the pipeline semantics this
+repo re-implemented; feature/partition stages have their own oracles
+(tests/test_models.py, tests/test_supervoxel.py, tests/test_lrf.py).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Reference modules with the unbuilt SWIG cores stubbed (same pattern
+    as tests/test_models.py)."""
+    sys.path.insert(0, REF)
+    stub = types.ModuleType("cpp_core.pcd_tiling.build.pcd_tiling")
+    pkg = types.ModuleType("cpp_core")
+    sub = types.ModuleType("cpp_core.pcd_tiling")
+    build = types.ModuleType("cpp_core.pcd_tiling.build")
+    build.pcd_tiling = stub
+    sys.modules.setdefault("cpp_core", pkg)
+    sys.modules.setdefault("cpp_core.pcd_tiling", sub)
+    sys.modules.setdefault("cpp_core.pcd_tiling.build", build)
+    sys.modules.setdefault("cpp_core.pcd_tiling.build.pcd_tiling", stub)
+    import src.functions as fn
+    import src.models.outlier_classifier as oc
+
+    yield types.SimpleNamespace(fn=fn, oc=oc)
+    sys.path.remove(REF)
+
+
+def _terrain_pair(rng, n, extent=10.0):
+    """Piecewise-rigid epoch pair: right half shifts, left half static.
+    1 mm target noise keeps residual distributions smooth — with exactly
+    rigid data the reference's ``res < median(res)`` inlier test sits on a
+    knife edge of ties that pure float-summation order can flip."""
+    xy = rng.uniform(0, extent, size=(n, 2))
+    z = np.sin(xy[:, 0] * 0.7) * 0.8 + np.cos(xy[:, 1] * 0.5) * 0.6
+    src = np.column_stack([xy, z]).astype(np.float32)
+    shift = np.array([0.04, -0.03, 0.02], np.float32)
+    tgt = src.copy()
+    moving = src[:, 0] > extent / 2
+    tgt[moving] += shift
+    tgt += rng.normal(scale=1e-3, size=tgt.shape).astype(np.float32)
+    return src, tgt, shift, moving
+
+
+def _oracle_f2s3_pruning(
+    ref_modules, corres, labels, tmodel, *, max_disp, refine_results=True,
+    data_dir="",
+):
+    """Reference correspondence_pruning + table gates, driven verbatim
+    (src/f2s3.py:340-397): per supervoxel, scale-normalise, the
+    reference's own ``filter_input`` (real shipped weights), the robust
+    rigid re-fit / score>0.99999 gate, then the <=max_disp table mask.
+
+    Returns the (k, 6) dvfs table in the reference's supervoxel-group
+    row order.
+    """
+    cfg = types.SimpleNamespace(data_dir=data_dir, refine_results=refine_results)
+    inlier_idx = []
+    save_coords = []
+    for lab in np.unique(labels[labels >= 0]):
+        svl = np.where(labels == lab)[0]
+        svl_data = torch.tensor(corres[svl]).float()
+        svl_scaled = torch.divide(svl_data, torch.max(torch.abs(svl_data)))
+        with torch.no_grad():
+            out = tmodel.filter_input(
+                svl_scaled.unsqueeze(0).unsqueeze(0).float(),
+                svl_data.unsqueeze(0).float(),
+                cfg,
+            )
+        coords = svl_data.numpy().copy()
+        if out["robust_estimate"] and refine_results:
+            x1t = ref_modules.fn.transform_point_cloud(
+                svl_data[:, 0:3].float(), out["rot_est"], out["trans_est"]
+            ).numpy()
+            coords[:, 3:6] = x1t
+            idx = np.ones(coords.shape[0])
+        else:
+            idx = (out["scores"].reshape(-1) > 0.99999).numpy()
+        inlier_idx.append(idx)
+        save_coords.append(coords)
+    if not inlier_idx:
+        return np.zeros((0, 6), np.float32)
+    inlier = np.concatenate(inlier_idx) > 0.5
+    coords = np.concatenate(save_coords)
+    filtered = coords[inlier]
+    mags = np.linalg.norm(filtered[:, 3:6] - filtered[:, :3], axis=1)
+    return filtered[mags <= max_disp]
+
+
+def _disp_map(table, decimals=4):
+    """{rounded src point -> displacement} for order-independent field
+    comparison. Keys are rounded float64 (f32 -> f64 upcast is exact, so
+    mixed-precision tables produce identical keys)."""
+    out = {}
+    for row in np.asarray(table, np.float64):
+        out[tuple(np.round(row[:3], decimals))] = row[3:6] - row[:3]
+    return out
+
+
+def test_f2s3_tile_matches_reference_pruning_oracle(ref_modules, tmp_path, rng):
+    """run_f2s3_tile's DVF table vs the reference pruning algorithm run on
+    the same features + partition with the SHIPPED filter weights: median
+    displacement disagreement must be far under the 1 mm north star."""
+    import jax
+
+    from fusion4landslide_tpu.models import (
+        FilteringNetwork as JFilter,  # noqa: F401 (converter sanity)
+        PointNetFeature,
+        torch_to_filtering_params,
+    )
+    from fusion4landslide_tpu.models.convert import load_torch_checkpoint
+    from fusion4landslide_tpu.pipelines.f2s3 import run_f2s3_tile
+
+    ckpt = os.path.join(REF, "weights", "outlier_classifier_best.pt")
+    tmodel = ref_modules.oc.FilteringNetwork()
+    tmodel.load_state_dict(torch.load(ckpt, map_location="cpu"))
+    tmodel.eval()
+    filt_params = torch_to_filtering_params(load_torch_checkpoint(ckpt))
+
+    dips_params = PointNetFeature().init(
+        jax.random.PRNGKey(0), np.zeros((2, 32, 3), np.float32)
+    )
+    src, tgt, shift, moving = _terrain_pair(rng, 2000)
+    cfg = {
+        "output_dir": str(tmp_path),
+        "output_folder": "run",
+        "voxel_size": 0.0,
+        "max_disp_magnitude": 5.0,
+        "refine_results": True,
+        "small_patch_removal": True,
+        "n_normals": 15,
+        "feat_k_max": 64,
+        "feat_patch_points": 32,
+    }
+    out = run_f2s3_tile(cfg, dips_params, filt_params, src, tgt, tile_id=0)
+
+    # Oracle: reference pruning on the SAME correspondences (features) and
+    # partition labels the pipeline used.
+    center = src.mean(axis=0)
+    s = (src - center).astype(np.float32)
+    t = (tgt - center).astype(np.float32)
+    d2 = (
+        (out["src_feat"][:, None, :] - out["tgt_feat"][None, :, :]) ** 2
+    ).sum(-1)
+    nn = d2.argmin(axis=1)
+    corres = np.hstack([s, t[nn]])
+    ref_table = _oracle_f2s3_pruning(
+        ref_modules, corres, out["labels"], tmodel, max_disp=5.0
+    )
+    ref_table = np.hstack(
+        [ref_table[:, :3] + center, ref_table[:, 3:6] + center]
+    )
+
+    ours = np.loadtxt(
+        tmp_path / "run" / "results" / "f2s3_dvfs_of_tile_0.txt"
+    ).reshape(-1, 6)
+    assert ours.shape[0] > 500
+    ours_map = _disp_map(ours)
+    ref_map = _disp_map(ref_table)
+    common = set(ours_map) & set(ref_map)
+    # Same points survive both implementations. A few supervoxels may
+    # legitimately flip the robust/score decision (the reference gates on
+    # knife-edge thresholds — inliers >= 5, median < 0.5 — that float
+    # summation order can tip for degenerate-weight groups).
+    assert len(common) > 0.95 * max(len(ours_map), len(ref_map))
+    err = np.array([
+        np.linalg.norm(ours_map[k] - ref_map[k]) for k in common
+    ])
+    assert np.median(err) < 1e-3  # the <1 mm north star; expect ~1e-6
+    assert np.median(err) < 1e-5  # actual agreement is numerical noise
+
+    # And the recovered field itself is the planted one where it matters.
+    disp = ours[:, 3:6] - ours[:, :3]
+    mov_rows = ours[:, 0] > center[0] + 0.5
+    if mov_rows.sum() > 50:
+        np.testing.assert_allclose(
+            np.median(disp[mov_rows], axis=0), shift, atol=2e-3
+        )
+
+
+# ---------------------------------------------------------------------------
+# Fusion fine matching oracle (base:3236-3436), numpy (its ICP dependency
+# is Open3D, re-derived here from the o3d point2point semantics:
+# max_correspondence_distance gate, SVD update, 30 iters, rel tol 1e-6).
+# ---------------------------------------------------------------------------
+
+
+def _kabsch_np(x, y, w=None):
+    w = np.ones(len(x)) if w is None else w
+    wc = w / max(w.sum(), 1e-12)
+    cx = (x * wc[:, None]).sum(0)
+    cy = (y * wc[:, None]).sum(0)
+    H = ((x - cx) * wc[:, None]).T @ (y - cy)
+    U, _, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    D = np.diag([1.0, 1.0, d])
+    R = Vt.T @ D @ U.T
+    t = cy - R @ cx
+    return R, t
+
+
+def _icp_p2p_np(src, tgt, max_dist, R, t, max_iter=30, rel_tol=1e-6):
+    """Open3D registration_icp(point2point) semantics (o3d_tools.py:46-50),
+    numpy: NN correspondences within max_dist, Kabsch update, converge on
+    relative fitness/rmse."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(tgt)
+    n = len(src)
+
+    def corr(R, t):
+        moved = src @ R.T + t
+        d, idx = tree.query(moved, k=1)
+        inl = d <= max_dist
+        return idx, inl, d
+
+    idx, inl, d = corr(R, t)
+    fit = inl.sum() / n
+    rmse = np.sqrt((d[inl] ** 2).mean()) if inl.any() else 0.0
+    for _ in range(max_iter):
+        if not inl.any():
+            break
+        R2, t2 = _kabsch_np(src[inl], tgt[idx[inl]])
+        R, t = R2, t2
+        idx, inl, d = corr(R, t)
+        fit2 = inl.sum() / n
+        rmse2 = np.sqrt((d[inl] ** 2).mean()) if inl.any() else 0.0
+        if abs(fit2 - fit) < rel_tol and abs(rmse2 - rmse) < rel_tol:
+            fit, rmse = fit2, rmse2
+            break
+        fit, rmse = fit2, rmse2
+    return R, t, fit, rmse
+
+
+def _oracle_fine_matching(
+    src_pts, tgt_pts, spt_src_members, spt_tgt_members, corres_3d_idx,
+    *, num_min_quality=10, thres_dd=0.5, thres_ir=0.15, num_min_fine=10,
+    icp_threshold=0.1, median_res=0.05,
+):
+    """Faithful numpy port of the reference fine matcher
+    (base:3255-3436, fine_matching_only_3d, assign_type=assign_then_nn):
+    per patch pair — matches inside both patches, isometry quality gate,
+    SVD + point2point ICP, dense assignment of the ICP transform to every
+    source point of the patch, and the reference's *per-patch* NN
+    re-association with threshold max(2·rmse, median_res).
+
+    Returns (dense (−,6), sparse (−,6), per-pair transforms).
+    """
+    from scipy.spatial import cKDTree
+
+    dense, sparse, pairs = [], [], []
+    for pi, (ms, mt) in enumerate(zip(spt_src_members, spt_tgt_members)):
+        w = corres_3d_idx[ms]  # matched tgt point per src member (-1 none)
+        mask = np.isin(w, mt) & (w >= 0)
+        src_m = src_pts[ms[mask]]
+        tgt_m = tgt_pts[w[mask]]
+        if len(src_m) >= num_min_quality:
+            ds = np.linalg.norm(src_m[:, None] - src_m[None], axis=-1)
+            dt = np.linalg.norm(tgt_m[:, None] - tgt_m[None], axis=-1)
+            dd = np.abs(ds - dt)
+            num_ele = len(dd) * (len(dd) - 1) / 2
+            dist_mean = np.triu(dd, 1).sum() / num_ele
+            ratio = ((dd <= thres_dd).sum() - len(dd)) / (num_ele * 2)
+            if ratio <= thres_ir or dist_mean >= thres_dd:
+                continue
+        if len(src_m) < num_min_fine:
+            continue
+        R0, t0 = _kabsch_np(src_m, tgt_m)
+        R, t, fit, rmse = _icp_p2p_np(src_m, tgt_m, icp_threshold, R0, t0)
+        # Dense: transform ALL src points of the patch (base:3371-3380).
+        moved = src_pts[ms] @ R.T + t
+        dense.append(np.hstack([src_pts[ms], moved]))
+        # Sparse assign_then_nn (base:3414-3436): NN among the TARGET
+        # PATCH's points within max(2·rmse, median_res).
+        thr = rmse * 2.0
+        if not np.isfinite(thr):
+            thr = median_res
+        thr = max(thr, median_res)
+        tree = cKDTree(tgt_pts[mt])
+        d, idx = tree.query(moved, k=1)
+        ok = d < thr
+        if ok.any():
+            sparse.append(
+                np.hstack([src_pts[ms][ok], tgt_pts[mt][idx[ok]]])
+            )
+        pairs.append((pi, R, t, rmse))
+    dense = np.vstack(dense) if dense else np.zeros((0, 6))
+    sparse = np.vstack(sparse) if sparse else np.zeros((0, 6))
+    return dense, sparse, pairs
+
+
+def test_fusion_fine_matching_matches_reference_oracle(rng):
+    """fine_match_pairs (vmapped quality gate + SVD + ICP) against the
+    numpy reference port on identical patch pairs: per-pair transforms and
+    the dense DVF agree to numerical noise (<< 1 mm)."""
+    import jax.numpy as jnp
+
+    from fusion4landslide_tpu.pipelines.fusion import fine_match_pairs
+
+    # Three patches: two rigid (different motions), one scrambled.
+    P = 48
+    rigid1 = rng.uniform(0, 3, size=(P, 3)).astype(np.float32)
+    rigid2 = rng.uniform(5, 8, size=(P, 3)).astype(np.float32)
+    junk = rng.uniform(10, 13, size=(P, 3)).astype(np.float32)
+    src_pts = np.vstack([rigid1, rigid2, junk]).astype(np.float32)
+    ang = 0.01
+    Rz = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    sh1 = np.array([0.03, -0.02, 0.01], np.float32)
+    sh2 = np.array([-0.05, 0.01, 0.02], np.float32)
+    tgt_pts = np.vstack(
+        [rigid1 + sh1, (rigid2 - rigid2.mean(0)) @ Rz.T + rigid2.mean(0) + sh2,
+         rng.uniform(10, 13, size=(P, 3))]
+    ).astype(np.float32)
+
+    members = np.stack(
+        [np.arange(P), np.arange(P, 2 * P), np.arange(2 * P, 3 * P)]
+    ).astype(np.int32)
+    lab_t = np.repeat(np.arange(3), P).astype(np.int32)
+    corres = np.arange(3 * P).astype(np.int32)  # identity matches
+    # Scramble the junk patch's correspondences (non-isometric).
+    corres[2 * P :] = rng.permutation(np.arange(2 * P, 3 * P))
+
+    res = fine_match_pairs(
+        members,
+        np.ones((3, P), bool),
+        np.array([0, 1, 2], np.int32),
+        corres,
+        np.ones(3 * P, bool),
+        lab_t,
+        src_pts,
+        tgt_pts,
+        num_min_quality=10,
+        thres_dist_diff=0.5,
+        thres_inlier_ratio=0.15,
+        num_min_fine=10,
+        icp_threshold=0.1,
+    )
+
+    dense_ref, sparse_ref, pairs_ref = _oracle_fine_matching(
+        src_pts,
+        tgt_pts,
+        [np.arange(P), np.arange(P, 2 * P), np.arange(2 * P, 3 * P)],
+        [np.arange(P), np.arange(P, 2 * P), np.arange(2 * P, 3 * P)],
+        corres.astype(np.int64),
+        median_res=0.05,
+    )
+
+    valid = np.asarray(res.valid)
+    ref_valid_ids = [p[0] for p in pairs_ref]
+    # Same pairs survive: both rigid patches pass, the scrambled one fails
+    # the isometry gate in both implementations.
+    assert sorted(ref_valid_ids) == [0, 1]
+    np.testing.assert_array_equal(valid, [True, True, False])
+
+    ours_R = np.asarray(res.R)
+    ours_t = np.asarray(res.t)
+    for pi, R, t, rmse in pairs_ref:
+        np.testing.assert_allclose(ours_R[pi], R, atol=1e-4)
+        np.testing.assert_allclose(ours_t[pi], t, atol=1e-4)
+
+    # Dense DVF field agreement — the <1 mm north star, per point.
+    dense_ours = []
+    for pi in (0, 1):
+        moved = src_pts[members[pi]] @ ours_R[pi].T + ours_t[pi]
+        dense_ours.append(np.hstack([src_pts[members[pi]], moved]))
+    dense_ours = np.vstack(dense_ours)
+    ours_map = _disp_map(dense_ours)
+    ref_map = _disp_map(dense_ref)
+    common = set(ours_map) & set(ref_map)
+    assert len(common) == 2 * P
+    err = np.array([np.linalg.norm(ours_map[k] - ref_map[k]) for k in common])
+    assert np.median(err) < 1e-3
+    assert err.max() < 1e-3
