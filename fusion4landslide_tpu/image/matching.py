@@ -198,7 +198,30 @@ def match_epoch_images(
 
     A diagnostic is logged when the measured median flow approaches the
     matcher's search bound (the silent-zero-matches failure mode).
+
+    Learned matchers ('eloftr'/'loftr') need converted checkpoint weights
+    (``weights=`` or an auto-probed ``weights/`` location); without them the
+    call falls back to ZNCC with a warning rather than silently matching
+    with random-initialised networks. Pass ``allow_random=True`` to force
+    the random-weight learned path (tests/benchmarks only).
     """
+    if matcher.lower() in ("eloftr", "loftr") and kw.get("params") is None:
+        resolved = resolve_learned_weights(kw.get("weights"))
+        if resolved is None and not kw.pop("allow_random", False):
+            if logger is not None:
+                logger.warning(
+                    "no converted %s weights found (checked weights/ and "
+                    "the 'weights' option) — falling back to the ZNCC "
+                    "matcher. Fetch + convert the upstream checkpoint "
+                    "(huggingface 'zju-community/efficientloftr' -> "
+                    "image.eloftr.load_torch_eloftr, see ARCHITECTURE.md) "
+                    "to enable the learned matcher.", matcher,
+                )
+            matcher = "zncc"
+            kw.pop("weights", None)
+        elif resolved is not None:
+            kw["weights"] = resolved
+    kw.pop("allow_random", None)
     fn = get_matcher(matcher)
     is_zncc = matcher.lower() == "zncc"
     if is_zncc:
@@ -305,6 +328,33 @@ def _loftr_matcher(img0, img1, *, params=None, match_threshold=0.2, **_):
 
 _ELOFTR_CACHE: dict = {}
 
+#: Auto-probed locations for converted learned-matcher checkpoints
+#: (the transformers EfficientLoFTR export of the upstream
+#: eloftr_outdoor.ckpt, reference README.md:85).
+WEIGHT_SEARCH_PATHS = (
+    "weights/efficientloftr",
+    "weights/eloftr.safetensors",
+    "weights/eloftr_outdoor.ckpt",
+)
+
+
+def resolve_learned_weights(weights=None):
+    """Resolve a learned-matcher checkpoint path: the explicit ``weights``
+    argument (must exist) or the first hit among WEIGHT_SEARCH_PATHS.
+    Returns None when nothing is provisioned."""
+    import os.path as osp
+
+    if weights is not None:
+        if not osp.exists(str(weights)):
+            raise FileNotFoundError(
+                f"learned matcher weights not found: {weights}"
+            )
+        return str(weights)
+    for cand in WEIGHT_SEARCH_PATHS:
+        if osp.exists(cand):
+            return cand
+    return None
+
 
 def _eloftr_matcher(img0, img1, *, params=None, weights=None, **_):
     """EfficientLoFTR (image.eloftr): the reference's production matcher
@@ -325,19 +375,7 @@ def _eloftr_matcher(img0, img1, *, params=None, weights=None, **_):
     )
 
     if params is None:
-        if weights is None:
-            for cand in (
-                "weights/efficientloftr",
-                "weights/eloftr.safetensors",
-                "weights/eloftr_outdoor.ckpt",
-            ):
-                if osp.exists(cand):
-                    weights = cand
-                    break
-        elif not osp.exists(str(weights)):
-            raise FileNotFoundError(
-                f"eloftr matcher weights not found: {weights}"
-            )
+        weights = resolve_learned_weights(weights)
         key = weights or "__random__"
         if key not in _ELOFTR_CACHE:
             if weights is not None:

@@ -104,7 +104,16 @@ def knn(
             distance +inf and index 0 — gate on ``isfinite(sqdist)``.
     """
     if use_pallas is None:
-        use_pallas = query.shape[-1] > _DIFF_DIM_MAX and k <= 128
+        import os
+
+        # Escape hatch for backend debugging: the Mosaic kNN kernel is the
+        # fastest feature-space path, but a faulty lowering can crash the
+        # whole TPU worker; disabling falls back to the exact XLA search.
+        use_pallas = (
+            query.shape[-1] > _DIFF_DIM_MAX
+            and k <= 128
+            and not os.environ.get("F4L_DISABLE_PALLAS_KNN")
+        )
     if use_pallas:
         from fusion4landslide_tpu.ops.knn_pallas import (
             knn_pallas,

@@ -193,6 +193,64 @@ def test_match_parity_identity_pair(torch_model, images):
     assert np.abs(flow).max() < 1.0
 
 
+def test_save_pretrained_directory_roundtrip(torch_model, images, tmp_path):
+    """File-format contract with a REAL checkpoint download: the converter
+    must consume the exact on-disk artifact ``save_pretrained`` /
+    ``huggingface-cli download`` produces (model.safetensors + config.json
+    directory), not just in-memory state dicts. Output parity against the
+    in-memory conversion proves the serialization path end to end."""
+    img0, img1 = images
+    ckpt_dir = tmp_path / "efficientloftr"
+    torch_model.save_pretrained(str(ckpt_dir))
+    assert (ckpt_dir / "model.safetensors").exists()
+
+    params_mem, cfg_mem = load_torch_eloftr(
+        torch_model.state_dict(), cfg=ELoFTRConfig(fine_matching_slice_dim=4)
+    )
+    params_dsk, cfg_dsk = load_torch_eloftr(
+        str(ckpt_dir), cfg=ELoFTRConfig(fine_matching_slice_dim=4)
+    )
+    assert cfg_dsk == cfg_mem
+
+    m_mem, _ = eloftr_match(
+        params_mem, img0, img1, model=EfficientLoFTRFlax(cfg_mem)
+    )
+    m_dsk, _ = eloftr_match(
+        params_dsk, img0, img1, model=EfficientLoFTRFlax(cfg_dsk)
+    )
+    np.testing.assert_allclose(m_dsk, m_mem, atol=1e-5)
+
+    # The matcher registry resolves the directory too (cfg key
+    # img_matcher_weights -> weights= -> load_torch_eloftr).
+    from fusion4landslide_tpu.image import matching as M
+
+    uv = M.match_epoch_images(
+        img0, img1, matcher="eloftr", weights=str(ckpt_dir)
+    )
+    assert uv.shape[1] == 4
+
+
+def test_learned_matcher_falls_back_without_weights(images, caplog):
+    """match_epoch_images with matcher='eloftr' and NO provisioned weights
+    must fall back to ZNCC with a warning — random-initialised learned
+    matching never runs implicitly."""
+    import logging
+
+    from fusion4landslide_tpu.image import matching as M
+
+    img0, img1 = images
+    logger = logging.getLogger("test_eloftr_fallback")
+    with caplog.at_level(logging.WARNING, logger="test_eloftr_fallback"):
+        out = M.match_epoch_images(
+            img0, img1, matcher="eloftr", logger=logger,
+            min_score=0.7, search=16,  # 32-px default leaves no grid at 64x96
+        )
+    assert any("falling back" in r.message for r in caplog.records)
+    # ZNCC on the 8-px-shift pair produces real matches.
+    assert out.shape[0] >= 10
+    assert abs(np.median(out[:, 2] - out[:, 0]) - 8.0) < 1.0
+
+
 def test_trained_like_weights_match_known_shift(torch_model, images):
     """End use-case: with converted weights, the matcher finds the 8-px
     shift between the image pair (flow median == shift) — the contract the
