@@ -393,7 +393,10 @@ def knn_grid_traced(
     def body(state):
         radius, best_d, best_i, it = state
         grid = build_hash_grid(ref, radius, rv)
-        d, i, _ = _hash_grid_knn_xla(
+        # hash_grid_knn auto-selects the Pallas window kernel on TPU
+        # (runtime radius; under trace the overflow check is deferred and
+        # the configured window is trusted) and the XLA join elsewhere.
+        d, i, _ = hash_grid_knn(
             query, grid, radius, k,
             cap=cap, query_block=query_block, exclude_self=exclude_self,
         )
@@ -446,7 +449,7 @@ def median_nn_distance_traced(
     def body(state):
         radius, med, found, it = state
         grid = build_hash_grid(points, radius, valid)
-        d, _, _ = _hash_grid_knn_xla(
+        d, _, _ = hash_grid_knn(
             points, grid, radius, 1,
             cap=cap, query_block=query_block, exclude_self=True,
         )

@@ -281,7 +281,7 @@ def hash_grid_knn_window(
 
 def _radius_sample_kernel(
     wmeta_ref,  # scalar prefetch: (nb, 2) i32 [window start (aligned), len]
-    qmat_ref,  # (B, 8) f32: [-2x, -2y, -2z, 1, row_id, 0, 0, 0]
+    qmat_ref,  # (B, 8) f32: [-2x, -2y, -2z, 1, row_id, r^2, 0, 0]
     refpack_ref,  # (8, m_pad) f32 in HBM
     idx_ref,  # (1, m_pad) i32
     out_i_ref,  # (B, num_points) i32
@@ -294,7 +294,6 @@ def _radius_sample_kernel(
     layers: int,
     w_size: int,
     chunk: int,
-    r2_thresh: float,
     seed: int,
     priority: str,
 ):
@@ -315,6 +314,11 @@ def _radius_sample_kernel(
     cp2.wait()
 
     qmat = qmat_ref[:, :]
+    # Per-query r^2 rides the qmat payload (column 5) so the radius is a
+    # RUNTIME value — one compiled kernel serves every tile radius (the
+    # old compile-time r2_thresh forced radius quantization and a Mosaic
+    # recompile per radius bucket).
+    r2q = qmat[:, 5:6]  # (B, 1)
     # Recover raw query coordinates (qmat rows are -2x,-2y,-2z) and centre
     # the whole block locally: squared-distance cancellation error then
     # scales with the window extent (a few cells), not the cloud extent —
@@ -378,9 +382,8 @@ def _radius_sample_kernel(
         # Exclude the query point itself (distance ~ 0), matching the
         # reference's drop of the self index (src/data_loader.py:46-53);
         # the locally-centred dist2 resolves ~1e-3 radii cleanly.
-        self_thresh = r2_thresh * 1e-6
         keyed = jnp.where(
-            (dist2 <= r2_thresh) & (dist2 > self_thresh) & finite,
+            (dist2 <= r2q) & (dist2 > r2q * 1e-6) & finite,
             pri,
             jnp.inf,
         )
@@ -434,14 +437,14 @@ def _radius_sample_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "num_points", "seed", "block", "window", "chunk",
+        "num_points", "seed", "block", "window", "chunk",
         "priority", "interpret",
     ),
 )
 def radius_sample_window(
     query: jax.Array,
     grid,  # HashGrid
-    radius: float,
+    radius: jax.Array | float,
     num_points: int = 256,
     seed: int = 0,
     *,
@@ -452,6 +455,10 @@ def radius_sample_window(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Subsample of in-radius neighbours per query.
+
+    ``radius`` is a RUNTIME value (float or traced scalar): it rides the
+    per-query kernel payload, so one compiled kernel serves every tile
+    radius and the fully-traced device tile steps can call this directly.
 
     ``priority='random'`` draws a uniform random subset (LRF patches);
     ``priority='distance'`` keeps the lane-stratified *nearest* candidates
@@ -477,13 +484,14 @@ def radius_sample_window(
     (qorder, qmat, wmeta, refpack, idxarr, overflow, nb, n_pad) = (
         _window_prologue(query, grid, block, window)
     )
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    qmat = qmat.at[:, 5].set(r2)
 
     kern = functools.partial(
         _radius_sample_kernel,
         layers=layers,
         w_size=window,
         chunk=chunk,
-        r2_thresh=float(radius) ** 2,
         seed=seed,
         priority=priority,
     )
@@ -552,12 +560,10 @@ def radius_sample_window(
 def quantize_radius(radius: float, step: float = 1.02) -> float:
     """Quantize a radius to a geometric grid (2% steps by default).
 
-    The window sampler bakes the radius into its Mosaic kernel as a
-    compile-time constant; per-tile adaptive radii (sqrt(3)·10·median_res)
-    would otherwise compile a fresh kernel per tile. A <=2% perturbation of
-    what is itself a heuristic support radius is immaterial to the
-    descriptors, and collapses the kernel variants to a handful that the
-    persistent compile cache retains across runs.
+    OBSOLETE for the window kernels: the sampler now takes the radius as a
+    runtime per-query payload value, so one compiled kernel serves every
+    tile radius. Kept for callers that want reproducible radius buckets
+    for other caching purposes.
     """
     import math
 

@@ -79,24 +79,20 @@ def supervoxel_graph(
     )
     from fusion4landslide_tpu.ops.knn_pallas import pallas_available
 
-    concrete = not isinstance(resolution, jax.core.Tracer) and not isinstance(
-        points, jax.core.Tracer
-    )
-    if pallas_available() and concrete:
+    if pallas_available():
         from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
         from fusion4landslide_tpu.ops.hashgrid_pallas import (
-            quantize_radius,
             radius_sample_window,
         )
         from fusion4landslide_tpu.ops.segments import bucket_size
 
-        # Bucket the point count and quantize the radius: the window
-        # sampler bakes both into its kernel, and per-tile variation would
-        # otherwise recompile it per tile.
+        # Bucket the point count (the window kernel compiles per shape).
+        # The radius is a runtime kernel payload — traced per-tile radii
+        # (device tile steps) share the one compilation.
         nb = bucket_size(n)
         pts_p = jnp.pad(points, ((0, nb - n), (0, 0)))
         valid_p = jnp.pad(valid, (0, nb - n))
-        res_q = quantize_radius(float(resolution))
+        res_q = jnp.asarray(resolution, points.dtype)
         grid = build_hash_grid(pts_p, res_q, valid_p)
         cand_i, cand_v, cand_x, _ = radius_sample_window(
             pts_p, grid, res_q, 128, priority="distance"

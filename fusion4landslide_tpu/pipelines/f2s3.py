@@ -142,14 +142,14 @@ def compute_dips_features(
         # in-radius subset (no brute-force kNN, no top-k over k_max), then
         # the LRF math + network run chunked over fixed shapes.
         #
-        # Compile stability: the sampler kernel bakes (shapes, radius, seed)
-        # as compile-time constants, so query/support counts are padded to
-        # power-of-two buckets, the radius is quantized to 2% steps, and the
-        # sampling seed is fixed (the per-candidate hash mixes point
-        # indices; determinism matches the reference's setup_seed(0)).
+        # Compile stability: query/support counts are padded to
+        # power-of-two buckets (the kernel compiles per shape); the radius
+        # is a RUNTIME kernel payload (traced per-tile radii — including
+        # the device tile steps' — share one compilation) and the sampling
+        # seed is fixed (the per-candidate hash mixes point indices;
+        # determinism matches the reference's setup_seed(0)).
         from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
         from fusion4landslide_tpu.ops.hashgrid_pallas import (
-            quantize_radius,
             radius_sample_window,
         )
         from fusion4landslide_tpu.ops.segments import bucket_size
@@ -166,7 +166,7 @@ def compute_dips_features(
             else jnp.asarray(halo_mask).astype(bool)
         )
         hmask_p = jnp.pad(hmask, (0, mb - m))
-        radius_q = quantize_radius(float(radius))
+        radius_q = jnp.asarray(radius, jnp.float32)
 
         grid = build_hash_grid(halo_p, radius_q, hmask_p)
         _, valid, xyz, _ = radius_sample_window(
@@ -176,7 +176,7 @@ def compute_dips_features(
         xs = xyz.reshape(n_chunks, chunk, patch_points, 3)
         vs = valid.reshape(n_chunks, chunk, patch_points)
         feats = _dips_chunks_mapped(
-            dips_params, qs, xs, vs, jnp.asarray(radius_q, jnp.float32),
+            dips_params, qs, xs, vs, radius_q,
             precision=precision, dtype=dtype,
         )
         return feats.reshape(-1, feats.shape[-1])[:n]

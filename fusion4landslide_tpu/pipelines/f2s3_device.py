@@ -93,6 +93,19 @@ def dips_features_device(
       patches, and per-cloud sampling noise decorrelates the two epochs'
       descriptors slightly.
     """
+    from fusion4landslide_tpu.ops.knn_pallas import pallas_available
+
+    if pallas_available() and patch_points % 128 == 0:
+        # TPU: the Pallas window sampler (runtime radius) — identical to
+        # the host fast path, one Mosaic compile per shape bucket.
+        from fusion4landslide_tpu.pipelines.f2s3 import compute_dips_features
+
+        return compute_dips_features(
+            dips_params, query, support, radius, key,
+            k_max=k_max, patch_points=patch_points, chunk=chunk,
+            halo_mask=support_mask, precision=precision, dtype=dtype,
+        )
+
     model = PointNetFeature(precision=precision, dtype=dtype)
     n = query.shape[0]
     m = support.shape[0]
