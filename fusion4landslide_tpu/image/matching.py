@@ -205,8 +205,16 @@ def match_epoch_images(
     with random-initialised networks. Pass ``allow_random=True`` to force
     the random-weight learned path (tests/benchmarks only).
     """
-    if matcher.lower() in ("eloftr", "loftr") and kw.get("params") is None:
-        resolved = resolve_learned_weights(kw.get("weights"))
+    if (
+        matcher.lower() in ("eloftr", "loftr", "roma", "romav2")
+        and kw.get("params") is None
+    ):
+        paths = (
+            ROMA_WEIGHT_SEARCH_PATHS
+            if matcher.lower() in ("roma", "romav2")
+            else WEIGHT_SEARCH_PATHS
+        )
+        resolved = resolve_learned_weights(kw.get("weights"), paths)
         if resolved is None and not kw.pop("allow_random", False):
             if logger is not None:
                 logger.warning(
@@ -330,17 +338,23 @@ _ELOFTR_CACHE: dict = {}
 
 #: Auto-probed locations for converted learned-matcher checkpoints
 #: (the transformers EfficientLoFTR export of the upstream
-#: eloftr_outdoor.ckpt, reference README.md:85).
+#: eloftr_outdoor.ckpt, reference README.md:85; RoMa weights trained
+#: in-environment by image.roma_train).
 WEIGHT_SEARCH_PATHS = (
     "weights/efficientloftr",
     "weights/eloftr.safetensors",
     "weights/eloftr_outdoor.ckpt",
 )
 
+ROMA_WEIGHT_SEARCH_PATHS = (
+    "weights/roma_tiny.npz",
+    "weights/roma.npz",
+)
 
-def resolve_learned_weights(weights=None):
+
+def resolve_learned_weights(weights=None, paths=WEIGHT_SEARCH_PATHS):
     """Resolve a learned-matcher checkpoint path: the explicit ``weights``
-    argument (must exist) or the first hit among WEIGHT_SEARCH_PATHS.
+    argument (must exist) or the first hit among ``paths``.
     Returns None when nothing is provisioned."""
     import os.path as osp
 
@@ -350,7 +364,7 @@ def resolve_learned_weights(weights=None):
                 f"learned matcher weights not found: {weights}"
             )
         return str(weights)
-    for cand in WEIGHT_SEARCH_PATHS:
+    for cand in paths:
         if osp.exists(cand):
             return cand
     return None
@@ -411,23 +425,88 @@ def _eloftr_matcher(img0, img1, *, params=None, weights=None, **_):
     return uv
 
 
+_ROMA_CACHE: dict = {}
+
+
+def _roma_matcher(
+    img0,
+    img1,
+    *,
+    params=None,
+    weights=None,
+    num_matches: int = 5000,
+    min_certainty: float = 0.3,
+    work_size: int = 224,
+    **_,
+):
+    """RoMa-family dense matcher (image.roma): the reference's
+    ``img_matching_type: RoMA`` role (base:1093-1098, rgb_guided.py:
+    2097-2229 — match → certainty-weighted sample → pixel coordinates).
+    Images are resized to ``work_size`` for the GP coarse stage (the
+    published model fixes 560 px the same way); matches are mapped back
+    to full-image coordinates."""
+    import jax
+
+    from fusion4landslide_tpu.image.roma import (
+        RoMaMatcher,
+        load_roma_weights,
+        roma_match,
+        roma_sample,
+        roma_to_pixel_coordinates,
+    )
+
+    if params is None:
+        weights = resolve_learned_weights(weights, ROMA_WEIGHT_SEARCH_PATHS)
+        if weights is None:
+            raise FileNotFoundError(
+                "no RoMa weights provisioned; train the compact model "
+                "(python -m fusion4landslide_tpu.image.roma_train) or pass "
+                "weights="
+            )
+        if weights not in _ROMA_CACHE:
+            _ROMA_CACHE[weights] = load_roma_weights(weights)
+        params, cfg = _ROMA_CACHE[weights]
+    else:
+        params, cfg = params
+    model = RoMaMatcher(cfg)
+    h0, w0 = img0.shape[:2]
+    h1, w1 = img1.shape[:2]
+    import jax.numpy as jnp
+
+    g0 = jnp.asarray(img0, jnp.float32)
+    g1 = jnp.asarray(img1, jnp.float32)
+    if g0.ndim == 3:
+        g0 = g0.mean(axis=-1)
+    if g1.ndim == 3:
+        g1 = g1.mean(axis=-1)
+    r0 = jax.image.resize(g0, (work_size, work_size), "bilinear")
+    r1 = jax.image.resize(g1, (work_size, work_size), "bilinear")
+    warp, cert = roma_match(params, r0, r1, model=model)
+    matches, c = roma_sample(warp, cert, num=num_matches)
+    ka, kb = roma_to_pixel_coordinates(matches, h0, w0, h1, w1)
+    ka = np.asarray(ka)
+    kb = np.asarray(kb)
+    c = np.asarray(c)
+    keep = c >= min_certainty
+    return np.concatenate([ka[keep], kb[keep]], axis=1).astype(np.float32)
+
+
 MATCHERS = {
     "zncc": zncc_grid_match,
     "loftr": _loftr_matcher,
-    # Reference config spelling (fusion_brienz.yaml img_matching_type).
+    # Reference config spellings (fusion_brienz.yaml img_matching_type,
+    # base:1093 'RoMA').
     "eloftr": _eloftr_matcher,
+    "roma": _roma_matcher,
+    "romav2": _roma_matcher,
 }
 
 
 def get_matcher(name: str):
-    """Look up a matcher by name: 'zncc' (classical DIC, production default)
-    or 'loftr'/'eloftr' (learned coarse-to-fine; reference's ELoFTR role)."""
+    """Look up a matcher by name: 'zncc' (classical DIC),
+    'loftr'/'eloftr' (learned coarse-to-fine; reference's ELoFTR role),
+    or 'roma'/'romav2' (dense GP matcher; reference's RoMa role)."""
     key = name.lower()
-    if key in ("roma", "romav2"):
-        raise NotImplementedError(
-            "the RoMa dense matcher is not ported; use 'eloftr' (learned) "
-            "or 'zncc' (classical DIC)"
-        )
     try:
         return MATCHERS[key]
     except KeyError as e:

@@ -1,0 +1,394 @@
+"""RoMa-family dense feature matcher (reference ``img_matching_type:
+RoMA`` / ``romav2``, src/coarse_to_fine_matching_base.py:1093-1098 and
+src/rgb_guided.py:2097-2229).
+
+The reference consumes the external RoMa package (Edstedt et al., CVPR
+2024) through a four-call contract::
+
+    warp, certainty = roma_model.match(imgA, imgB)
+    matches, cert   = roma_model.sample(warp, certainty, num=10000)
+    kptsA, kptsB    = roma_model.to_pixel_coordinates(matches, H_A, W_A,
+                                                      H_B, W_B)
+
+This module re-implements the ARCHITECTURE in Flax — the same three
+algorithmic stages as the published model —
+
+1. coarse features from a conv encoder (the published model uses a frozen
+   DINOv2 ViT-L/14; the backbone here is configurable and the shipped
+   config is a compact conv pyramid that can be TRAINED in-environment —
+   no network egress exists to fetch the ~1.1 GB DINOv2 + RoMa
+   checkpoints, see docs/ARCHITECTURE.md),
+2. a Gaussian-process coarse matcher: an exponential cosine-similarity
+   kernel regresses, for every A-location, the posterior over B's
+   *coordinate embeddings* (cos/sin Fourier features of the normalised B
+   grid); a conv decoder classifies over K x K anchor coordinates and
+   emits certainty — exactly RoMa's GP + anchor-classification design,
+3. coarse-to-fine conv refiners: at each finer stride the current warp
+   resamples B's features, a local correlation volume is built, and a
+   conv head regresses a warp delta + certainty update.
+
+TPU notes: everything is fixed-shape and jit-compiled; the local
+correlation is an unfold + dot (MXU); grid_sample is a bilinear gather.
+
+Weights: train with :func:`fusion4landslide_tpu.image.roma_train.train_roma`
+(synthetic homography curriculum) and save/load with
+:func:`save_roma_weights` / :func:`load_roma_weights`. The matcher
+registry treats RoMa like ELoFTR: without provisioned weights it falls
+back to ZNCC rather than silently matching with random parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = [
+    "RoMaConfig",
+    "RoMaMatcher",
+    "roma_match",
+    "roma_sample",
+    "roma_to_pixel_coordinates",
+    "save_roma_weights",
+    "load_roma_weights",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class RoMaConfig:
+    """Architecture hyper-parameters.
+
+    The default is the compact trainable configuration; scale
+    ``enc_channels``/``gp_dim``/``anchors`` up for a DINOv2-class coarse
+    stage (the GP/decoder/refiner structure is unchanged — only the
+    backbone swaps).
+    """
+
+    enc_channels: Sequence[int] = (32, 64, 128)  # strides 2, 4, 8
+    gp_dim: int = 128  # projected coarse feature / coord-embedding dim
+    coord_freqs: int = 16  # Fourier frequencies per axis (embedding = 4*freqs)
+    anchors: int = 32  # K: anchor grid is K x K over B's extent
+    decoder_channels: int = 128
+    decoder_blocks: int = 3
+    refine_channels: Sequence[int] = (96, 64)  # strides 4, 2
+    corr_radius: int = 3  # local correlation window = (2r+1)^2
+    kernel_temperature: float = 0.1
+    gp_noise: float = 1e-3
+
+
+def _coord_grid(h: int, w: int, dtype=jnp.float32):
+    """(h, w, 2) normalised coordinates in [-1, 1] (x, y order)."""
+    ys = (jnp.arange(h, dtype=dtype) + 0.5) / h * 2.0 - 1.0
+    xs = (jnp.arange(w, dtype=dtype) + 0.5) / w * 2.0 - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def _fourier_embed(coords: jax.Array, freqs: int) -> jax.Array:
+    """RoMa's cosine coordinate embedding: cos/sin of scaled coords.
+
+    coords (..., 2) in [-1, 1] -> (..., 4 * freqs).
+    """
+    k = 2.0 ** jnp.arange(freqs, dtype=coords.dtype)  # (F,)
+    ang = coords[..., None] * k * jnp.pi  # (..., 2, F)
+    emb = jnp.concatenate(
+        [jnp.cos(ang), jnp.sin(ang)], axis=-1
+    )  # (..., 2, 2F)
+    return emb.reshape(*coords.shape[:-1], 4 * freqs)
+
+
+def grid_sample(fmap: jax.Array, coords: jax.Array) -> jax.Array:
+    """Bilinear sample of ``fmap`` (h, w, c) at normalised coords
+    (..., 2) in [-1, 1] (x, y), zero padding outside."""
+    h, w, c = fmap.shape
+    x = (coords[..., 0] + 1.0) * 0.5 * w - 0.5
+    y = (coords[..., 1] + 1.0) * 0.5 * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def tap(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = fmap[
+            jnp.clip(yi, 0, h - 1).astype(jnp.int32),
+            jnp.clip(xi, 0, w - 1).astype(jnp.int32),
+        ]
+        return v * inb[..., None]
+
+    v = (
+        tap(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
+        + tap(y0, x0 + 1) * (wx * (1 - wy))[..., None]
+        + tap(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
+        + tap(y0 + 1, x0 + 1) * (wx * wy)[..., None]
+    )
+    return v
+
+
+class _ConvBlock(nn.Module):
+    ch: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride))(x)
+        groups = next(g for g in (8, 4, 2, 1) if self.ch % g == 0)
+        x = nn.GroupNorm(num_groups=groups)(x)
+        return nn.relu(x)
+
+
+class _Encoder(nn.Module):
+    """Conv pyramid: returns features at strides 1, 2, 4, 8 (stride-1 is
+    the normalised input itself plus a lifting conv)."""
+
+    cfg: RoMaConfig
+
+    @nn.compact
+    def __call__(self, img):  # (h, w) grayscale in [0, 1]
+        x = img[..., None]
+        f1 = nn.relu(nn.Conv(16, (3, 3))(x))  # stride 1
+        feats = [f1]
+        for ch in self.cfg.enc_channels:
+            x = _ConvBlock(ch, stride=2)(feats[-1])
+            x = _ConvBlock(ch)(x)
+            feats.append(x)
+        return feats  # [s1, s2, s4, s8]
+
+
+class _GPMatcher(nn.Module):
+    """RoMa's Gaussian-process coarse matcher: exponential cosine kernel
+    regression of B's coordinate embeddings onto A's grid."""
+
+    cfg: RoMaConfig
+
+    @nn.compact
+    def __call__(self, fa, fb):  # (ha, wa, c), (hb, wb, c)
+        cfg = self.cfg
+        pa = nn.Dense(cfg.gp_dim, name="proj")(fa)
+        pb = nn.Dense(cfg.gp_dim, name="proj_b")(fb)
+        ha, wa, _ = pa.shape
+        hb, wb, _ = pb.shape
+        a = pa.reshape(ha * wa, cfg.gp_dim)
+        b = pb.reshape(hb * wb, cfg.gp_dim)
+        a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-8)
+        b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-8)
+        hp = jax.lax.Precision.HIGHEST
+        temp = self.param(
+            "log_temp",
+            lambda *_: jnp.asarray(np.log(cfg.kernel_temperature), jnp.float32),
+        )
+        # Bounded exponential cosine kernel: exp((sim - 1)/tau) in (0, 1]
+        # — same kernel up to a constant factor, but the Gram matrix keeps
+        # a unit diagonal so the GP solve stays well-conditioned for any
+        # learned temperature (tau floored at 0.02).
+        tau = 0.02 + jax.nn.softplus(jnp.exp(temp))
+        k_ab = jnp.exp((jnp.matmul(a, b.T, precision=hp) - 1.0) / tau)
+        k_bb = jnp.exp((jnp.matmul(b, b.T, precision=hp) - 1.0) / tau)
+        emb_b = _fourier_embed(
+            _coord_grid(hb, wb), cfg.coord_freqs
+        ).reshape(hb * wb, -1)
+        sol = jnp.linalg.solve(
+            k_bb + cfg.gp_noise * jnp.eye(k_bb.shape[0]), emb_b
+        )
+        mu = jnp.matmul(k_ab, sol, precision=hp)  # (Na, 4F) posterior mean
+        return mu.reshape(ha, wa, -1)
+
+
+class _CoarseDecoder(nn.Module):
+    """Conv decoder over [A-features, GP posterior] -> anchor logits
+    (K*K) + certainty logit, exactly RoMa's classification-style coarse
+    warp head."""
+
+    cfg: RoMaConfig
+
+    @nn.compact
+    def __call__(self, fa, mu):
+        cfg = self.cfg
+        x = jnp.concatenate([fa, mu], axis=-1)
+        x = _ConvBlock(cfg.decoder_channels)(x)
+        for _ in range(cfg.decoder_blocks - 1):
+            x = x + _ConvBlock(cfg.decoder_channels)(x)
+        logits = nn.Conv(cfg.anchors * cfg.anchors + 1, (1, 1))(x)
+        anchor_logits = logits[..., :-1]
+        certainty = logits[..., -1]
+        # Warp = probability-weighted anchor coordinate.
+        k = cfg.anchors
+        probs = jax.nn.softmax(anchor_logits, axis=-1)
+        anchor_xy = _coord_grid(k, k).reshape(k * k, 2)
+        warp = jnp.einsum("hwk,kc->hwc", probs, anchor_xy)
+        return warp, certainty, anchor_logits
+
+
+class _Refiner(nn.Module):
+    """One coarse-to-fine step: local correlation around the current warp
+    + conv head -> warp delta and certainty update (RoMa's ConvRefiner
+    role)."""
+
+    ch: int
+    cfg: RoMaConfig
+
+    @nn.compact
+    def __call__(self, fa, fb, warp, certainty):
+        r = self.cfg.corr_radius
+        h, w, c = fa.shape
+        hb, wb, _ = fb.shape
+        # Local correlation: sample B features on a (2r+1)^2 grid of
+        # pixel offsets around the warp target.
+        dy, dx = jnp.meshgrid(
+            jnp.arange(-r, r + 1), jnp.arange(-r, r + 1), indexing="ij"
+        )
+        offs = jnp.stack(
+            [dx.reshape(-1) * 2.0 / wb, dy.reshape(-1) * 2.0 / hb], axis=-1
+        )  # (T, 2) in normalised B units
+        coords = warp[:, :, None, :] + offs[None, None, :, :]  # (h, w, T, 2)
+        fb_s = grid_sample(fb, coords)  # (h, w, T, c)
+        fa_n = fa * jax.lax.rsqrt(jnp.sum(fa * fa, -1, keepdims=True) + 1e-8)
+        fb_n = fb_s * jax.lax.rsqrt(
+            jnp.sum(fb_s * fb_s, -1, keepdims=True) + 1e-8
+        )
+        corr = jnp.einsum("hwc,hwtc->hwt", fa_n, fb_n)
+        x = jnp.concatenate(
+            [fa, corr, warp, certainty[..., None]], axis=-1
+        )
+        x = _ConvBlock(self.ch)(x)
+        x = x + _ConvBlock(self.ch)(x)
+        out = nn.Conv(3, (3, 3))(x)
+        delta = out[..., :2]
+        dcert = out[..., 2]
+        # Deltas are in local-offset units (bounded by the corr window).
+        scale = jnp.asarray([2.0 * r / wb, 2.0 * r / hb], warp.dtype)
+        return warp + jnp.tanh(delta) * scale, certainty + dcert
+
+
+def _upsample_field(x: jax.Array, h: int, w: int) -> jax.Array:
+    return jax.image.resize(x, (h, w) + x.shape[2:], method="bilinear")
+
+
+class RoMaMatcher(nn.Module):
+    """Dense matcher: returns (warp (h, w, 2) normalised B-coords per
+    stride-1 A-pixel, certainty (h, w) in [0, 1])."""
+
+    cfg: RoMaConfig = RoMaConfig()
+
+    @nn.compact
+    def __call__(self, img0, img1):
+        cfg = self.cfg
+        enc = _Encoder(cfg, name="encoder")
+        fa = enc(img0)
+        fb = enc(img1)
+        mu = _GPMatcher(cfg, name="gp")(fa[-1], fb[-1])
+        warp, cert, anchor_logits = _CoarseDecoder(cfg, name="decoder")(
+            fa[-1], mu
+        )
+        self.sow("intermediates", "anchor_logits", anchor_logits)
+        self.sow("intermediates", "coarse_warp", warp)
+        # Refine at strides 4 and 2 (feats index -2, -3), then upsample to 1.
+        for li, ch in enumerate(cfg.refine_channels):
+            fa_l = fa[-2 - li]
+            fb_l = fb[-2 - li]
+            h, w, _ = fa_l.shape
+            warp = _upsample_field(warp, h, w)
+            cert = _upsample_field(cert[..., None], h, w)[..., 0]
+            warp, cert = _Refiner(ch, cfg, name=f"refiner_{li}")(
+                fa_l, fb_l, warp, cert
+            )
+        h1, w1, _ = fa[0].shape
+        warp = _upsample_field(warp, h1, w1)
+        cert = _upsample_field(cert[..., None], h1, w1)[..., 0]
+        return warp, jax.nn.sigmoid(cert)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _roma_forward(params, img0, img1, model: RoMaMatcher):
+    return model.apply(params, img0, img1)
+
+
+def roma_match(params, img0, img1, *, model: RoMaMatcher | None = None):
+    """``roma_model.match`` equivalent: dense warp + certainty.
+
+    Returns (warp (h, w, 2) normalised B-coordinates, certainty (h, w)).
+    """
+    model = model or RoMaMatcher()
+    img0 = jnp.asarray(img0, jnp.float32)
+    img1 = jnp.asarray(img1, jnp.float32)
+    if img0.max() > 1.5:
+        img0 = img0 / 255.0
+    if img1.max() > 1.5:
+        img1 = img1 / 255.0
+    return _roma_forward(params, img0, img1, model)
+
+
+def roma_sample(warp, certainty, num: int = 10000, key=None):
+    """``roma_model.sample`` equivalent: certainty-weighted draw of
+    ``num`` matches. Returns ((num, 4) normalised [xA, yA, xB, yB],
+    (num,) certainties)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    h, w, _ = warp.shape
+    ga = _coord_grid(h, w)
+    flat = jnp.concatenate([ga, warp], axis=-1).reshape(h * w, 4)
+    cert = jnp.asarray(certainty).reshape(h * w)
+    total = jnp.sum(cert)
+    p = jnp.where(
+        total > 0, cert / jnp.maximum(total, 1e-9), 1.0 / (h * w)
+    )
+    idx = jax.random.choice(
+        key, h * w, shape=(min(num, h * w),), replace=True, p=p
+    )
+    return flat[idx], cert[idx]
+
+
+def roma_to_pixel_coordinates(matches, h_a, w_a, h_b, w_b):
+    """``roma_model.to_pixel_coordinates`` equivalent."""
+    m = jnp.asarray(matches)
+    kpts_a = jnp.stack(
+        [
+            (m[:, 0] + 1.0) * 0.5 * w_a - 0.5,
+            (m[:, 1] + 1.0) * 0.5 * h_a - 0.5,
+        ],
+        axis=-1,
+    )
+    kpts_b = jnp.stack(
+        [
+            (m[:, 2] + 1.0) * 0.5 * w_b - 0.5,
+            (m[:, 3] + 1.0) * 0.5 * h_b - 0.5,
+        ],
+        axis=-1,
+    )
+    return kpts_a, kpts_b
+
+
+def save_roma_weights(path: str, params, cfg: RoMaConfig) -> None:
+    """Serialise trained parameters + config (numpy .npz of flattened
+    leaves; no external deps)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    arrays["__cfg__"] = np.frombuffer(
+        repr(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_roma_weights(path: str):
+    """Load (params, cfg) written by :func:`save_roma_weights`."""
+    import ast
+
+    from flax.traverse_util import unflatten_dict
+
+    data = np.load(path, allow_pickle=False)
+    cfg_dict = ast.literal_eval(bytes(data["__cfg__"]).decode())
+    for k in ("enc_channels", "refine_channels"):
+        cfg_dict[k] = tuple(cfg_dict[k])
+    cfg = RoMaConfig(**cfg_dict)
+    flat = {
+        tuple(k.split("/")): jnp.asarray(v)
+        for k, v in data.items()
+        if k != "__cfg__"
+    }
+    return unflatten_dict(flat), cfg

@@ -169,6 +169,17 @@ def run_f2s3_tiles_sharded(
         with_c2c=bool(cfg.get("fill_gaps_c2c", False)),
     )
     step = make_sharded_f2s3_step(mesh, dips_params, filt_params, **statics)
+    if bool(cfg.get("prewarm", False)):
+        import threading
+
+        from fusion4landslide_tpu.utils.prewarm import prewarm_f2s3_sharded
+
+        threading.Thread(
+            target=prewarm_f2s3_sharded,
+            args=(step, n_dev, N, M),
+            kwargs={"logger": logger},
+            daemon=True,
+        ).start()
 
     max_disp = float(cfg.get("max_disp_magnitude", 0) or 0)
     voxel_size = float(cfg.get("voxel_size", 0.0) or 0.0)
@@ -351,6 +362,23 @@ def run_fusion3d_tiles_sharded(
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),
     )
     step = make_sharded_fusion3d_step(mesh, dips_params, agg_params, **statics)
+    if bool(cfg.get("prewarm", False)):
+        # Compile the whole bucket program (incl. Mosaic kernels) on an
+        # empty batch in the background while tile IO streams; the first
+        # real dispatch blocks on the same executable, so compute never
+        # interleaves with kernel compiles.
+        import threading
+
+        from fusion4landslide_tpu.utils.prewarm import (
+            prewarm_fusion3d_sharded,
+        )
+
+        threading.Thread(
+            target=prewarm_fusion3d_sharded,
+            args=(step, n_dev, N, M),
+            kwargs={"logger": logger},
+            daemon=True,
+        ).start()
 
     max_mag = float(cfg.get("max_magnitude", 10.0))
     icp_thr = float(cfg.get("icp_threshold", 0.1))

@@ -242,7 +242,7 @@ def fusion3d_tile_step(
     patch_points: int = 256,
     chunk: int = 2048,
     k_neighbors: int = 15,
-    sv_cap: int = 1024,
+    sv_cap: int | tuple[int, ...] = 1024,
     member_cap: int = 512,
     agg_max_points: int = 512,
     small_patch: int = 10,
@@ -335,7 +335,21 @@ def fusion3d_tile_step(
     t2s_valid = jnp.zeros((M,), bool)
     n_dropped = jnp.zeros((), jnp.int32)
 
-    for level in levels:
+    # Per-level superpoint caps: each level doubles the radius, so the
+    # superpoint count drops ~4x per level — sizing every level's member
+    # tables, aggregation, coarse matcher, and fine solver at the level-1
+    # cap wasted ~2x of the whole tile step. Overflow past a cap is
+    # counted in ``n_dropped`` exactly as before.
+    if isinstance(sv_cap, int):
+        floor = min(256, sv_cap)
+        sv_caps = tuple(
+            max(sv_cap >> (2 * li), floor) for li in range(len(levels))
+        )
+    else:
+        sv_caps = tuple(sv_cap)
+
+    for li, level in enumerate(levels):
+        sv_cap_l = sv_caps[li]
         svl_radius = base_svl * (2.0 ** (int(level) - 1))
         seg_s = supervoxel_segmentation(
             s_cent, svl_radius, vvalid_s,
@@ -348,8 +362,8 @@ def fusion3d_tile_step(
         lab_s, n_s = drop_small_and_compact(seg_s.labels, vvalid_s, small_patch)
         lab_t, n_t = drop_small_and_compact(seg_t.labels, vvalid_t, small_patch)
 
-        mem_s, memmask_s = label_members(lab_s, sv_cap, member_cap)
-        mem_t, memmask_t = label_members(lab_t, sv_cap, member_cap)
+        mem_s, memmask_s = label_members(lab_s, sv_cap_l, member_cap)
+        mem_t, memmask_t = label_members(lab_t, sv_cap_l, member_cap)
         in_table = (
             jnp.zeros((N,), bool)
             .at[jnp.where(memmask_s, mem_s, N)]
@@ -369,8 +383,8 @@ def fusion3d_tile_step(
             agg_params, tgt_feat, t_cent, mem_t, memmask_t,
             agg_max_points=agg_max_points,
         )
-        svalid_s = jnp.arange(sv_cap) < n_s
-        svalid_t = jnp.arange(sv_cap) < n_t
+        svalid_s = jnp.arange(sv_cap_l) < n_s
+        svalid_t = jnp.arange(sv_cap_l) < n_t
         tgt_of_src, pair_valid = coarse_match_superpoints_chunked(
             spt_feat_s, spt_coord_s, svalid_s,
             spt_feat_t, spt_coord_t, svalid_t,
@@ -405,7 +419,7 @@ def fusion3d_tile_step(
         pt_label = jnp.where(
             smask & (s_p2v < s_nv), jnp.take(lab_s, pt_vox), -1
         )
-        pl = jnp.clip(pt_label, 0, sv_cap - 1)
+        pl = jnp.clip(pt_label, 0, sv_cap_l - 1)
         pt_has = (pt_label >= 0) & jnp.take(lab_ok, pl)
         take = pt_has & ~merged_valid
         merged_R = jnp.where(
@@ -420,26 +434,26 @@ def fusion3d_tile_step(
         if with_tgt2src:
             # Exact reference semantics (base:3386-3393): each matched
             # pair's inverse transform applies to the TARGET patch's points.
-            Rinv = jnp.swapaxes(fine.R, -1, -2)  # (sv_cap, 3, 3)
+            Rinv = jnp.swapaxes(fine.R, -1, -2)  # (sv_cap_l, 3, 3)
             tinv = -jnp.einsum("sij,sj->si", Rinv, fine.t)
             # Scatter pair inverse onto its TARGET label slot.
-            tl = jnp.where(lab_ok, tgt_of_src, sv_cap)
+            tl = jnp.where(lab_ok, tgt_of_src, sv_cap_l)
             pair_R_of_tlab = (
-                jnp.broadcast_to(jnp.eye(3, dtype=f32), (sv_cap, 3, 3))
+                jnp.broadcast_to(jnp.eye(3, dtype=f32), (sv_cap_l, 3, 3))
                 .at[tl]
                 .set(Rinv, mode="drop")
             )
-            pair_t_of_tlab = jnp.zeros((sv_cap, 3), f32).at[tl].set(
+            pair_t_of_tlab = jnp.zeros((sv_cap_l, 3), f32).at[tl].set(
                 tinv, mode="drop"
             )
-            pair_ok_of_tlab = jnp.zeros((sv_cap,), bool).at[tl].set(
+            pair_ok_of_tlab = jnp.zeros((sv_cap_l,), bool).at[tl].set(
                 lab_ok, mode="drop"
             )
             tp_vox = jnp.clip(t_p2v, 0, M - 1)
             tp_label = jnp.where(
                 tmask & (t_p2v < t_nv), jnp.take(lab_t, tp_vox), -1
             )
-            tpl = jnp.clip(tp_label, 0, sv_cap - 1)
+            tpl = jnp.clip(tp_label, 0, sv_cap_l - 1)
             tp_has = (tp_label >= 0) & jnp.take(pair_ok_of_tlab, tpl)
             ttake = tp_has & ~t2s_valid
             t2s_R = jnp.where(

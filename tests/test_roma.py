@@ -1,0 +1,149 @@
+"""RoMa-family dense matcher (image.roma): interface contracts, the
+reference's four-call consumption pattern (rgb_guided.py:2222-2229),
+weight (de)serialisation, in-environment training, and the matcher
+registry wiring (reference ``img_matching_type: RoMA``, base:1093)."""
+
+import numpy as np
+import pytest
+
+from fusion4landslide_tpu.image.roma import (
+    RoMaConfig,
+    RoMaMatcher,
+    load_roma_weights,
+    roma_match,
+    roma_sample,
+    roma_to_pixel_coordinates,
+    save_roma_weights,
+)
+
+TINY = RoMaConfig(
+    enc_channels=(8, 16, 24),
+    gp_dim=32,
+    coord_freqs=4,
+    anchors=8,
+    decoder_channels=32,
+    decoder_blocks=2,
+    refine_channels=(16, 12),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import jax
+
+    model = RoMaMatcher(TINY)
+    img = np.zeros((48, 48), np.float32)
+    params = model.init(jax.random.PRNGKey(0), img, img)
+    return model, params
+
+
+def test_match_sample_pixel_contract(tiny_model, rng):
+    """The reference's call sequence: match -> sample -> pixel coords."""
+    model, params = tiny_model
+    img0 = rng.uniform(0, 1, size=(48, 48)).astype(np.float32)
+    img1 = rng.uniform(0, 1, size=(48, 48)).astype(np.float32)
+    warp, cert = roma_match(params, img0, img1, model=model)
+    assert warp.shape == (48, 48, 2)
+    assert cert.shape == (48, 48)
+    c = np.asarray(cert)
+    assert (c >= 0).all() and (c <= 1).all()
+    matches, mc = roma_sample(warp, cert, num=500)
+    assert matches.shape == (500, 4)
+    ka, kb = roma_to_pixel_coordinates(matches, 48, 48, 96, 80)
+    ka, kb = np.asarray(ka), np.asarray(kb)
+    assert ka.shape == (500, 2) and kb.shape == (500, 2)
+    # A-side keypoints are grid coordinates inside the image.
+    assert ka.min() >= -0.5 and ka[:, 0].max() <= 47.5
+
+
+def test_to_pixel_coordinates_roundtrip():
+    """Normalised <-> pixel mapping matches the convention used by the
+    warp grid: centre of pixel i at (i + 0.5) / n * 2 - 1."""
+    m = np.array([[-1 + 1 / 8, -1 + 1 / 8, 1 - 1 / 16, 1 - 1 / 16]])
+    ka, kb = roma_to_pixel_coordinates(m, 8, 8, 16, 16)
+    np.testing.assert_allclose(np.asarray(ka)[0], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(kb)[0], [15.0, 15.0], atol=1e-6)
+
+
+def test_weights_roundtrip(tiny_model, tmp_path, rng):
+    import jax
+
+    model, params = tiny_model
+    path = str(tmp_path / "roma.npz")
+    save_roma_weights(path, params, TINY)
+    params2, cfg2 = load_roma_weights(path)
+    assert cfg2 == TINY
+    img0 = rng.uniform(0, 1, size=(48, 48)).astype(np.float32)
+    img1 = np.roll(img0, 4, axis=1)
+    w1, c1 = roma_match(params, img0, img1, model=model)
+    w2, c2 = roma_match(params2, img0, img1, model=RoMaMatcher(cfg2))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+        params, params2,
+    )
+
+
+def test_training_reduces_epe():
+    """The architecture learns: a short synthetic-homography run must cut
+    the end-point error substantially from its random-init value."""
+    from fusion4landslide_tpu.image.roma_train import TrainSettings, train_roma
+
+    settings = TrainSettings(size=48, steps=120, lr=3e-3, max_rot=0.05)
+    params, cfg, history = train_roma(
+        settings, TINY, seed=0, log_every=20
+    )
+    assert history[-1] < 0.6 * history[0]
+
+
+@pytest.mark.slow
+def test_trained_matcher_recovers_shift(tmp_path):
+    """End use-case: train the compact model, provision its weights, and
+    match a shifted pair through the registry — the reference's RoMa role
+    produces real matches with the planted flow."""
+    from fusion4landslide_tpu.image import matching as M
+    from fusion4landslide_tpu.image.roma_train import (
+        TrainSettings,
+        train_roma,
+        make_pair,
+    )
+
+    settings = TrainSettings(size=64, steps=600, lr=2e-3, max_rot=0.0)
+    params, cfg, history = train_roma(settings, TINY, seed=1, log_every=150)
+    path = str(tmp_path / "roma_tiny.npz")
+    save_roma_weights(path, params, cfg)
+
+    rng = np.random.default_rng(7)
+    img0, img1, warp_gt, valid = make_pair(rng, settings)
+    out = M.match_epoch_images(
+        img0, img1, matcher="romav2", weights=path,
+        work_size=64, min_certainty=0.0, num_matches=3000,
+    )
+    assert out.shape[0] > 500
+    # Median flow error vs the ground-truth warp, in pixels.
+    n = settings.size
+    gx = np.clip(out[:, 0].round().astype(int), 0, n - 1)
+    gy = np.clip(out[:, 1].round().astype(int), 0, n - 1)
+    gt = (warp_gt[gy, gx] + 1) * 0.5 * n - 0.5
+    err = np.linalg.norm(out[:, 2:4] - gt, axis=1)
+    ok = valid[gy, gx]
+    assert np.median(err[ok]) < 4.0
+
+
+def test_registry_falls_back_without_roma_weights(rng, caplog):
+    import logging
+
+    from fusion4landslide_tpu.image import matching as M
+
+    img0 = rng.uniform(0, 255, size=(96, 96)).astype(np.float32)
+    img0 = (img0 + np.roll(img0, 1, 0) + np.roll(img0, 1, 1)) / 3
+    img1 = np.roll(img0, 6, axis=1)
+    logger = logging.getLogger("test_roma_fallback")
+    with caplog.at_level(logging.WARNING, logger="test_roma_fallback"):
+        out = M.match_epoch_images(
+            img0, img1, matcher="romav2", logger=logger,
+            min_score=0.7, search=16,
+        )
+    assert any("falling back" in r.message for r in caplog.records)
+    assert out.shape[0] >= 10
+    assert abs(np.median(out[:, 2] - out[:, 0]) - 6.0) < 1.0
