@@ -2,40 +2,54 @@
 """Headline benchmark.
 
 Default mode (``BENCH_MODE=e2e``): the BASELINE.json headline metric —
-epoch-pair end-to-end minutes. Runs the full fusion_3d per-tile pipeline
+epoch-pair end-to-end minutes — measured on the ACTUAL multi-chip
+execution path: ``parallel.pipeline.make_sharded_fusion3d_step``, the
+jitted shard_map program that ``run_fusion3d_tiles_sharded`` dispatches
 (median resolution → adaptive voxel subsample → DIPs descriptors → global
 3D matches → multi-level supervoxel partition → attention aggregation →
-coarse mutual matching → fine per-patch SVD+ICP → dense DVF) on a synthetic
-``BENCH_N``-point tile, then extrapolates one 50M-point epoch pair sharded
-over 8 chips (tiles are embarrassingly parallel; the sharded path is
-validated on the virtual CPU mesh and by ``dryrun_multichip``):
+coarse mutual matching → fine per-patch SVD+ICP → dense DVF + sparse
+re-association), on a synthetic ``BENCH_N``-point tile padded to its
+power-of-two bucket. The 50M-point epoch-pair extrapolation is
 
     minutes_50M_v5e8 = tile_seconds * (50e6 / BENCH_N) / 8 / 60
 
-``vs_baseline`` = north-star target (5 min, BASELINE.md "Rebuild targets")
-divided by the extrapolated minutes — >1.0 means the target is beaten.
+where the ÷8 assumes the SAME sharded step running data-parallel over a
+v5e-8 ``tiles`` mesh — the execution mode this benchmark measures one
+shard of. Tiles are communication-free (±20 m halo decomposition); the
+8-device mesh execution of this exact program is validated by
+``__graft_entry__.dryrun_multichip`` and the 8-dev==1-dev parity tests
+(tests/test_parallel.py).
 
-``BENCH_MODE=knn``: round-1's registration-core throughput (1M-point exact
-radius-bounded 1-NN + piecewise displacement solve, Mpts/s; ``vs_baseline``
-measured against scipy cKDTree on this host).
+``BENCH_MODE=host``: the single-chip host-orchestrated tile path
+(``pipelines.fusion.run_fusion3d_tile``) for comparison.
 
-Timing note: results are synced by device→host transfer (``np.asarray``) —
-on the tunnelled TPU backend ``block_until_ready`` returns at dispatch-ack,
-not completion.
+``BENCH_MODE=knn``: round-1's registration-core throughput (1M-point
+exact radius-bounded 1-NN + piecewise displacement solve, Mpts/s).
+
+Timing note: results are synced by device→host transfer (``np.asarray``)
+— on the tunnelled TPU backend ``block_until_ready`` returns at
+dispatch-ack, not completion. A keepalive thread pings the device during
+the minutes-long cold Mosaic compiles so the tunnelled session cannot
+idle out. The reported number is the best of 3 warm runs; the first run
+of a process is compile-dominated (Mosaic kernels are not persistently
+cached).
 
 Prints exactly one JSON line.
-Env: BENCH_MODE (e2e|knn), BENCH_N (points per epoch; default 100_000 e2e,
-1_000_000 knn). The first e2e run is compile-dominated (minutes, persisted
-to the on-disk XLA cache); the reported number is the best (warm) run.
+Env: BENCH_MODE (e2e|host|knn), BENCH_N (points per epoch; default
+100_000 e2e/host, 1_000_000 knn).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
+
+TARGET_MINUTES = 5.0  # BASELINE.md "Rebuild targets": < 5 min on v5e-8
+ASSUMED_CHIPS = 8
 
 
 def synth_epoch_pair(n: int, seed: int = 0):
@@ -56,15 +70,32 @@ def synth_epoch_pair(n: int, seed: int = 0):
     return src, tgt, extent
 
 
-def bench_e2e(n: int) -> dict:
+def _keepalive():
+    import jax
+    import jax.numpy as jnp
+
+    stop = threading.Event()
+
+    def loop():
+        x = jnp.ones((8,))
+        while not stop.is_set():
+            try:
+                float(jnp.sum(x))
+            except Exception:
+                pass
+            stop.wait(20)
+
+    threading.Thread(target=loop, daemon=True).start()
+    return stop
+
+
+def _models():
     import jax
 
     from fusion4landslide_tpu.models.aggregation import ClusterFeatureNet
     from fusion4landslide_tpu.models.dips import PointNetFeature
-    from fusion4landslide_tpu.pipelines.fusion import run_fusion3d_tile
 
-    src, tgt, extent = synth_epoch_pair(n)
-    dips_params = PointNetFeature().init(
+    dips_params = PointNetFeature(dtype="bfloat16").init(
         jax.random.PRNGKey(0), np.zeros((2, 256, 3), np.float32)
     )
     agg_params = ClusterFeatureNet().init(
@@ -72,6 +103,86 @@ def bench_e2e(n: int) -> dict:
         np.zeros((2, 8, 64), np.float32),
         np.ones((2, 8), bool),
     )
+    return dips_params, agg_params
+
+
+def bench_e2e(n: int) -> dict:
+    """Warm per-tile seconds of the sharded fusion_3d device step."""
+    import jax
+    import jax.numpy as jnp
+
+    from fusion4landslide_tpu.ops.segments import bucket_size
+    from fusion4landslide_tpu.parallel import (
+        make_sharded_fusion3d_step,
+        tile_mesh,
+    )
+
+    stop = _keepalive()
+    dips_params, agg_params = _models()
+    src, tgt, extent = synth_epoch_pair(n)
+    N = bucket_size(n)
+    c = src.mean(axis=0)
+    sb = np.zeros((1, N, 3), np.float32)
+    sb[0, :n] = src - c
+    tb = np.zeros((1, N, 3), np.float32)
+    tb[0, :n] = tgt - c
+    m = np.zeros((1, N), bool)
+    m[0, :n] = True
+
+    # Production statics (fusion_brienz-class config; bf16 descriptor
+    # activations — recommended production precision, match recovery
+    # verified identical on the synthetic drives).
+    step = make_sharded_fusion3d_step(
+        tile_mesh(1),
+        dips_params,
+        agg_params,
+        levels=(1, 2, 3),
+        k_max=512,
+        patch_points=256,
+        chunk=2048,
+        sv_cap=max(bucket_size(max(N // 16, 1)), 64),
+        member_cap=512,
+        agg_max_points=512,
+        small_patch=10,
+        with_sparse=True,
+        with_tgt2src=False,
+        feat_dtype="bfloat16",
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    scal = lambda v, dt=jnp.float32: jnp.full((1,), v, dt)
+    args = (
+        jnp.asarray(sb), jnp.asarray(m), jnp.asarray(tb), jnp.asarray(m),
+        keys,
+        scal(5.0), scal(0.1), scal(0.1),
+        scal(10, jnp.int32), scal(10, jnp.int32), scal(0.5), scal(0.15),
+    )
+    out = step(*args)
+    np.asarray(out.valid[0, :8])  # cold (compile) run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = step(*args)
+        v = np.asarray(out.valid)
+        best = min(best, time.perf_counter() - t0)
+    stop.set()
+    assert float(v[0, :n].mean()) > 0.5  # most points assigned
+    minutes = best * (50e6 / n) / ASSUMED_CHIPS / 60.0
+    return {
+        "metric": "fusion3d_epoch_pair_50M_v5e8_extrapolated",
+        "value": round(minutes, 2),
+        "unit": "min",
+        "vs_baseline": round(TARGET_MINUTES / minutes, 3),
+    }
+
+
+def bench_host(n: int) -> dict:
+    """Single-chip host-orchestrated tile path (per-tile artifacts and
+    caching included), for comparison with the sharded step."""
+    from fusion4landslide_tpu.pipelines.fusion import run_fusion3d_tile
+
+    stop = _keepalive()
+    dips_params, agg_params = _models()
+    src, tgt, extent = synth_epoch_pair(n)
     cfg = {
         "max_magnitude": 5.0,
         "icp_threshold": 0.1,
@@ -85,34 +196,26 @@ def bench_e2e(n: int) -> dict:
         "assign_type": "assign_then_nn",
         "output_tgt2src": False,
         "save_interim": False,
-        # Recommended production precision: bf16 activations in the
-        # descriptor net (fp32 accumulation + fp32-renormalised output;
-        # match recovery verified identical on the synthetic drives).
         "feat_dtype": "bfloat16",
         "output_dir": "/tmp/f4l_bench",
         "output_folder": "run",
         "dataset": "brienz_tls",
     }
-
-    # Warm-up on a small slice compiles the bucketed kernels; the timed run
-    # below still includes any shape-specific compiles (reported warm by
-    # taking the best of 2 full runs).
     best = float("inf")
     for k in range(2):
         t0 = time.perf_counter()
         out = run_fusion3d_tile(
             cfg, dips_params, agg_params, src, tgt, tile_id=f"bench{k}"
         )
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
+        best = min(best, time.perf_counter() - t0)
+    stop.set()
     assert out["assigned_fraction"] > 0.0
-    minutes_50m_v5e8 = best * (50e6 / n) / 8.0 / 60.0
-    target = 5.0
+    minutes = best * (50e6 / n) / ASSUMED_CHIPS / 60.0
     return {
-        "metric": "fusion3d_epoch_pair_50M_v5e8_extrapolated",
-        "value": round(minutes_50m_v5e8, 2),
+        "metric": "fusion3d_epoch_pair_50M_v5e8_host_path",
+        "value": round(minutes, 2),
         "unit": "min",
-        "vs_baseline": round(target / minutes_50m_v5e8, 3),
+        "vs_baseline": round(TARGET_MINUTES / minutes, 3),
     }
 
 
@@ -179,11 +282,11 @@ def main() -> None:
     enable_compile_cache()
     mode = os.environ.get("BENCH_MODE", "e2e")
     if mode == "knn":
-        n = int(os.environ.get("BENCH_N", 1_000_000))
-        result = bench_knn(n)
+        result = bench_knn(int(os.environ.get("BENCH_N", 1_000_000)))
+    elif mode == "host":
+        result = bench_host(int(os.environ.get("BENCH_N", 100_000)))
     else:
-        n = int(os.environ.get("BENCH_N", 100_000))
-        result = bench_e2e(n)
+        result = bench_e2e(int(os.environ.get("BENCH_N", 100_000)))
     print(json.dumps(result))
 
 

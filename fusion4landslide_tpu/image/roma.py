@@ -297,6 +297,9 @@ class RoMaMatcher(nn.Module):
             warp, cert = _Refiner(ch, cfg, name=f"refiner_{li}")(
                 fa_l, fb_l, warp, cert
             )
+            # Per-scale supervision hook (the published model supervises
+            # every refiner output).
+            self.sow("intermediates", f"warp_s{li}", warp)
         h1, w1, _ = fa[0].shape
         warp = _upsample_field(warp, h1, w1)
         cert = _upsample_field(cert[..., None], h1, w1)[..., 0]

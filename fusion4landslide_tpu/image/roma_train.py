@@ -105,6 +105,27 @@ def _loss_fn(params, model, img0, img1, warp_gt, valid, inlier_norm):
     err = jnp.sqrt(jnp.sum((warp - warp_gt) ** 2, axis=-1) + 1e-8)
     v = valid.astype(jnp.float32)
     epe = jnp.sum(err * v) / jnp.maximum(jnp.sum(v), 1)
+    # Per-scale supervision of every refiner output (as upstream).
+    scale_epe = 0.0
+    for k_, w_ in inter["intermediates"].items():
+        if not k_.startswith("warp_s"):
+            continue
+        ws = w_[0]
+        hs, wsz, _ = ws.shape
+        gt_s = jax.image.resize(warp_gt, (hs, wsz, 2), "bilinear")
+        vs = jax.image.resize(v, (hs, wsz), "bilinear")
+        es = jnp.sqrt(jnp.sum((ws - gt_s) ** 2, axis=-1) + 1e-8)
+        scale_epe = scale_epe + jnp.sum(es * vs) / jnp.maximum(
+            jnp.sum(vs), 1
+        )
+    # Coarse warp regression too (the anchor CE below localises only to an
+    # anchor cell).
+    cw = inter["intermediates"]["coarse_warp"][0]
+    hc0, wc0, _ = cw.shape
+    gt_c0 = jax.image.resize(warp_gt, (hc0, wc0, 2), "bilinear")
+    vc0 = jax.image.resize(v, (hc0, wc0), "bilinear")
+    ec0 = jnp.sqrt(jnp.sum((cw - gt_c0) ** 2, axis=-1) + 1e-8)
+    scale_epe = scale_epe + jnp.sum(ec0 * vc0) / jnp.maximum(jnp.sum(vc0), 1)
     # Coarse anchor cross-entropy.
     logits = inter["intermediates"]["anchor_logits"][0]
     hc, wc, kk = logits.shape
@@ -124,7 +145,7 @@ def _loss_fn(params, model, img0, img1, warp_gt, valid, inlier_norm):
         + (1 - inlier) * jnp.log(1 - cert + 1e-6)
     )
     bce = jnp.mean(bce)
-    return epe + 0.25 * ce + 0.1 * bce, (epe, ce, bce)
+    return epe + 0.5 * scale_epe + 0.25 * ce + 0.1 * bce, (epe, ce, bce)
 
 
 def train_roma(
@@ -148,7 +169,11 @@ def train_roma(
     rng = np.random.default_rng(seed)
     img0, img1, warp_gt, valid = make_pair(rng, settings)
     params = model.init(jax.random.PRNGKey(seed), img0, img1)
-    tx = optax.adam(settings.lr)
+    tx = optax.adam(
+        optax.cosine_decay_schedule(
+            settings.lr, settings.steps, alpha=0.05
+        )
+    )
     opt_state = tx.init(params)
     inlier_norm = settings.inlier_px * 2.0 / settings.size
 

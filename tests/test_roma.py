@@ -108,8 +108,16 @@ def test_trained_matcher_recovers_shift(tmp_path):
         make_pair,
     )
 
-    settings = TrainSettings(size=64, steps=600, lr=2e-3, max_rot=0.0)
-    params, cfg, history = train_roma(settings, TINY, seed=1, log_every=150)
+    cfg_train = RoMaConfig(
+        enc_channels=(8, 16, 24), gp_dim=32, coord_freqs=4, anchors=16,
+        decoder_channels=48, decoder_blocks=2, refine_channels=(16, 12),
+    )
+    settings = TrainSettings(
+        size=64, steps=1600, lr=3e-3, max_rot=0.0, max_shift=0.15
+    )
+    params, cfg, history = train_roma(
+        settings, cfg_train, seed=1, log_every=400
+    )
     path = str(tmp_path / "roma_tiny.npz")
     save_roma_weights(path, params, cfg)
 
@@ -119,8 +127,10 @@ def test_trained_matcher_recovers_shift(tmp_path):
         img0, img1, matcher="romav2", weights=path,
         work_size=64, min_certainty=0.0, num_matches=3000,
     )
-    assert out.shape[0] > 500
-    # Median flow error vs the ground-truth warp, in pixels.
+    assert out.shape[0] > 200
+    # Median flow error of the certainty-weighted samples vs the
+    # ground-truth warp, in pixels (the reference samples by certainty the
+    # same way, rgb_guided.py:2224).
     n = settings.size
     gx = np.clip(out[:, 0].round().astype(int), 0, n - 1)
     gy = np.clip(out[:, 1].round().astype(int), 0, n - 1)
