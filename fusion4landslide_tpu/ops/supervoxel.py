@@ -79,6 +79,16 @@ def supervoxel_graph(
     )
     from fusion4landslide_tpu.ops.knn_pallas import pallas_available
 
+    if n <= 8192:
+        # Small clouds (nested-level centroid sets): exact brute-force kNN
+        # is cheaper than any grid machinery and fully traceable.
+        sqd, neigh_idx = knn(
+            points, points, k_neighbors, valid,
+            exclude_self=True, use_pallas=False,
+        )
+        r2 = jnp.asarray(resolution, points.dtype) ** 2
+        neigh_mask = jnp.isfinite(sqd) & (sqd <= r2)
+        return jnp.where(neigh_mask, neigh_idx, 0), neigh_mask
     if pallas_available():
         from fusion4landslide_tpu.ops.hashgrid import build_hash_grid
         from fusion4landslide_tpu.ops.hashgrid_pallas import (

@@ -184,6 +184,40 @@ def _aggregate_chunked(
     return spt_feat, cent
 
 
+def _segment_centroids(
+    coords: jax.Array,  # (V, 3) voxel centroids
+    prev_lab: jax.Array,  # (V,) previous level's compacted labels
+    prev_cap: int,
+    prev_n: jax.Array,
+    svl_radius: jax.Array,
+    k_neighbors: int,
+) -> jax.Array:
+    """Nested partition level: VCCS-segment the PREVIOUS level's cluster
+    centroids (a few thousand points) and compose back onto the voxels.
+
+    The reference re-runs its C++ segmentation over the full cloud per
+    level (coarse_to_fine_matching.py:215-287); segmenting the previous
+    level's centroids instead produces a strictly nested hierarchy — the
+    same structure its superpoint levels have by construction — at ~1/50
+    of the cost at production tile sizes.
+    """
+    has = (prev_lab >= 0) & (prev_lab < prev_cap)
+    lab0 = jnp.where(has, prev_lab, prev_cap)
+    w = has.astype(coords.dtype)
+    sums = jax.ops.segment_sum(
+        coords * w[:, None], lab0, num_segments=prev_cap + 1
+    )[:prev_cap]
+    cnts = jax.ops.segment_sum(w, lab0, num_segments=prev_cap + 1)[:prev_cap]
+    cent = sums / jnp.maximum(cnts[:, None], 1.0)
+    cvalid = jnp.arange(prev_cap) < prev_n
+    seg = supervoxel_segmentation(
+        cent, svl_radius, cvalid, k_neighbors=min(k_neighbors, 15)
+    )
+    return jnp.where(
+        has, jnp.take(seg.labels, jnp.clip(prev_lab, 0, prev_cap - 1)), -1
+    )
+
+
 class Fusion3DTileResult(NamedTuple):
     moved: jax.Array  # (N, 3) R p + t per src point (p where unassigned)
     valid: jax.Array  # (N,) src point got a fine transform
@@ -213,6 +247,7 @@ class Fusion3DTileResult(NamedTuple):
         "icp_max_iter",
         "icp_type",
         "fine_max_matches",
+        "nested_levels",
         "with_sparse",
         "with_tgt2src",
         "precision",
@@ -248,7 +283,8 @@ def fusion3d_tile_step(
     small_patch: int = 10,
     icp_max_iter: int = 30,
     icp_type: str = "point2point",
-    fine_max_matches: int = 1024,
+    fine_max_matches: int = 256,
+    nested_levels: bool = True,
     with_sparse: bool = True,
     with_tgt2src: bool = True,
     precision: str = "default",
@@ -348,19 +384,34 @@ def fusion3d_tile_step(
     else:
         sv_caps = tuple(sv_cap)
 
+    lab_s_prev = lab_t_prev = None
+    n_s_prev = n_t_prev = None
     for li, level in enumerate(levels):
         sv_cap_l = sv_caps[li]
         svl_radius = base_svl * (2.0 ** (int(level) - 1))
-        seg_s = supervoxel_segmentation(
-            s_cent, svl_radius, vvalid_s,
-            neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,
-        )
-        seg_t = supervoxel_segmentation(
-            t_cent, svl_radius, vvalid_t,
-            neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t,
-        )
-        lab_s, n_s = drop_small_and_compact(seg_s.labels, vvalid_s, small_patch)
-        lab_t, n_t = drop_small_and_compact(seg_t.labels, vvalid_t, small_patch)
+        if li == 0 or not nested_levels:
+            seg_s = supervoxel_segmentation(
+                s_cent, svl_radius, vvalid_s,
+                neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,
+            )
+            seg_t = supervoxel_segmentation(
+                t_cent, svl_radius, vvalid_t,
+                neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t,
+            )
+            raw_s, raw_t = seg_s.labels, seg_t.labels
+        else:
+            raw_s = _segment_centroids(
+                s_cent, lab_s_prev, sv_caps[li - 1], n_s_prev,
+                svl_radius, k_neighbors,
+            )
+            raw_t = _segment_centroids(
+                t_cent, lab_t_prev, sv_caps[li - 1], n_t_prev,
+                svl_radius, k_neighbors,
+            )
+        lab_s, n_s = drop_small_and_compact(raw_s, vvalid_s, small_patch)
+        lab_t, n_t = drop_small_and_compact(raw_t, vvalid_t, small_patch)
+        lab_s_prev, n_s_prev = lab_s, n_s
+        lab_t_prev, n_t_prev = lab_t, n_t
 
         mem_s, memmask_s = label_members(lab_s, sv_cap_l, member_cap)
         mem_t, memmask_t = label_members(lab_t, sv_cap_l, member_cap)
