@@ -258,11 +258,18 @@ def loftr_match(
 
 
 def load_torch_loftr(path: str):
-    """Load a torch LoFTR-family checkpoint. EfficientLoFTR checkpoints in
-    the ``transformers`` layout (the published conversion of the upstream
-    ``eloftr_outdoor.ckpt``) are dispatched to
-    :func:`fusion4landslide_tpu.image.eloftr.load_torch_eloftr`, returning
-    (params, config) for :class:`~.eloftr.EfficientLoFTRFlax`."""
+    """Load a torch LoFTR-family checkpoint, dispatching on layout:
+
+    - upstream zju3dv/LoFTR ``indoor_ds.ckpt`` / ``outdoor_ds.ckpt`` →
+      :func:`fusion4landslide_tpu.image.loftr_classic.convert_classic_loftr`
+      (params for :class:`~.loftr_classic.ClassicLoFTR`),
+    - ``transformers`` EfficientLoFTR (the published conversion of the
+      upstream ``eloftr_outdoor.ckpt``) →
+      :func:`fusion4landslide_tpu.image.eloftr.load_torch_eloftr`
+      (params for :class:`~.eloftr.EfficientLoFTRFlax`).
+
+    Returns (params, config); the config's type selects the model class.
+    """
     from fusion4landslide_tpu.models.convert import load_torch_checkpoint
 
     sd = load_torch_checkpoint(path)
@@ -271,9 +278,17 @@ def load_torch_loftr(path: str):
         from fusion4landslide_tpu.image.eloftr import load_torch_eloftr
 
         return load_torch_eloftr(stripped)
+    from fusion4landslide_tpu.image.loftr_classic import (
+        convert_classic_loftr,
+        is_classic_loftr_state_dict,
+    )
+
+    if is_classic_loftr_state_dict(stripped):
+        return convert_classic_loftr(stripped)
     raise NotImplementedError(
         f"checkpoint at {path} loaded ({len(sd)} tensors) but its layout is "
-        "not recognised — supported: transformers EfficientLoFTR "
+        "not recognised — supported: upstream zju3dv/LoFTR "
+        "(indoor/outdoor_ds.ckpt) and transformers EfficientLoFTR "
         "(convert the upstream eloftr_outdoor.ckpt with the transformers "
         "conversion script, or use AutoModel zju-community/efficientloftr)."
     )

@@ -307,27 +307,74 @@ def match_epoch_images(
     return merged
 
 
-def _loftr_matcher(img0, img1, *, params=None, match_threshold=0.2, **_):
-    """Learned LoFTR-family matcher (fusion4landslide_tpu.image.loftr).
+LOFTR_WEIGHT_SEARCH_PATHS = (
+    "weights/outdoor_ds.ckpt",
+    "weights/indoor_ds.ckpt",
+    "weights/loftr.ckpt",
+)
 
-    Without converted upstream weights, random-initialised parameters are
-    used — functional but weak; prefer 'zncc' until weights are supplied.
+
+def _loftr_matcher(img0, img1, *, params=None, weights=None,
+                   match_threshold=0.2, **_):
+    """Learned LoFTR-family matcher.
+
+    With a provisioned upstream checkpoint (zju3dv/LoFTR
+    ``indoor/outdoor_ds.ckpt``; common locations probed automatically),
+    runs the faithful :class:`~.loftr_classic.ClassicLoFTR` conversion.
+    Without weights, the compact in-environment architecture runs
+    random-initialised — functional but weak; prefer 'zncc' or a trained
+    matcher until weights are supplied.
     """
     import jax
 
-    from fusion4landslide_tpu.image.loftr import LoFTRMatcher, loftr_match
+    from fusion4landslide_tpu.image.loftr import (
+        LoFTRMatcher,
+        load_torch_loftr,
+        loftr_match,
+    )
 
-    model = LoFTRMatcher()
     if params is None:
-        import warnings
-
-        warnings.warn(
-            "loftr matcher running with random-initialised weights; convert "
-            "an upstream checkpoint (image.loftr.load_torch_loftr) for "
-            "production matching", stacklevel=2,
+        weights = resolve_learned_weights(weights, LOFTR_WEIGHT_SEARCH_PATHS)
+    if weights is not None or params is not None:
+        if params is None:
+            key = ("loftr", weights)
+            if key not in _ELOFTR_CACHE:
+                _ELOFTR_CACHE[key] = load_torch_loftr(weights)
+            params, cfg = _ELOFTR_CACHE[key]
+        else:
+            params, cfg = params
+        from fusion4landslide_tpu.image.loftr_classic import (
+            ClassicLoFTR,
+            ClassicLoFTRConfig,
+            classic_loftr_match,
         )
-        dummy = np.zeros((64, 64), np.float32)
-        params = model.init(jax.random.PRNGKey(0), dummy, dummy)
+
+        if isinstance(cfg, ClassicLoFTRConfig):
+            uv, _conf = classic_loftr_match(
+                params, img0, img1, model=ClassicLoFTR(cfg),
+                match_threshold=match_threshold,
+            )
+            return uv
+        from fusion4landslide_tpu.image.eloftr import (
+            EfficientLoFTRFlax,
+            eloftr_match,
+        )
+
+        uv, _conf = eloftr_match(
+            params, img0, img1, model=EfficientLoFTRFlax(cfg)
+        )
+        return uv
+
+    import warnings
+
+    warnings.warn(
+        "loftr matcher running with random-initialised weights; convert "
+        "an upstream checkpoint (image.loftr.load_torch_loftr) for "
+        "production matching", stacklevel=2,
+    )
+    model = LoFTRMatcher()
+    dummy = np.zeros((64, 64), np.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy)
     uv, _conf = loftr_match(
         params, img0, img1, model=model, match_threshold=match_threshold
     )
@@ -354,7 +401,9 @@ ROMA_WEIGHT_SEARCH_PATHS = (
 
 def resolve_learned_weights(weights=None, paths=WEIGHT_SEARCH_PATHS):
     """Resolve a learned-matcher checkpoint path: the explicit ``weights``
-    argument (must exist) or the first hit among ``paths``.
+    argument (must exist) or the first hit among ``paths``, probed both
+    relative to the cwd and to the repository root (so weights shipped
+    alongside the package are found regardless of cwd).
     Returns None when nothing is provisioned."""
     import os.path as osp
 
@@ -364,9 +413,12 @@ def resolve_learned_weights(weights=None, paths=WEIGHT_SEARCH_PATHS):
                 f"learned matcher weights not found: {weights}"
             )
         return str(weights)
+    pkg_root = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
     for cand in paths:
-        if osp.exists(cand):
-            return cand
+        for base in ("", pkg_root):
+            p = osp.join(base, cand) if base else cand
+            if osp.exists(p):
+                return p
     return None
 
 

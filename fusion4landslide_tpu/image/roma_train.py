@@ -43,7 +43,7 @@ class TrainSettings:
     batch: int = 4
     max_shift: float = 0.25  # of image extent
     max_rot: float = 0.15  # radians
-    inlier_px: float = 2.0
+    inlier_px: float = 3.0  # certainty-BCE inlier radius
 
 
 def _texture(rng, n):
@@ -177,21 +177,34 @@ def train_roma(
     opt_state = tx.init(params)
     inlier_norm = settings.inlier_px * 2.0 / settings.size
 
+    def batch_loss(params, img0, img1, warp_gt, valid):
+        losses, auxs = jax.vmap(
+            lambda a, b, c, d: _loss_fn(
+                params, model, a, b, c, d, inlier_norm
+            )
+        )(img0, img1, warp_gt, valid)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, auxs)
+
     @jax.jit
     def step(params, opt_state, img0, img1, warp_gt, valid):
-        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            params, model, img0, img1, warp_gt, valid, inlier_norm
+        (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            params, img0, img1, warp_gt, valid
         )
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
+    def sample_batch():
+        pairs = [make_pair(rng, settings) for _ in range(settings.batch)]
+        return tuple(
+            jnp.asarray(np.stack([p[i] for p in pairs]))
+            for i in range(4)
+        )
+
     history = []
     for it in range(settings.steps):
-        img0, img1, warp_gt, valid = make_pair(rng, settings)
+        img0, img1, warp_gt, valid = sample_batch()
         params, opt_state, loss, aux = step(
-            params, opt_state,
-            jnp.asarray(img0), jnp.asarray(img1),
-            jnp.asarray(warp_gt), jnp.asarray(valid),
+            params, opt_state, img0, img1, warp_gt, valid
         )
         if it % log_every == 0 or it == settings.steps - 1:
             epe = float(aux[0])

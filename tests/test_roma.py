@@ -140,10 +140,45 @@ def test_trained_matcher_recovers_shift(tmp_path):
     assert np.median(err[ok]) < 4.0
 
 
-def test_registry_falls_back_without_roma_weights(rng, caplog):
+def test_shipped_roma_weights_recover_shift():
+    """When the repository ships trained RoMa weights
+    (weights/roma_tiny.npz), the registry resolves them from any cwd —
+    no explicit ``weights=`` — and ``romav2`` recovers a planted shift on
+    a textured pair (the reference's RoMa role, rgb_guided.py:2097-2229)."""
+    from fusion4landslide_tpu.image import matching as M
+    from fusion4landslide_tpu.image.roma_train import TrainSettings, make_pair
+
+    path = M.resolve_learned_weights(None, M.ROMA_WEIGHT_SEARCH_PATHS)
+    if path is None:
+        pytest.skip("no shipped RoMa weights (train with image.roma_train)")
+    from fusion4landslide_tpu.image.roma import load_roma_weights
+
+    _params, cfg = load_roma_weights(path)
+    rng = np.random.default_rng(11)
+    settings = TrainSettings(size=96, max_rot=0.0, max_shift=0.12)
+    img0, img1, warp_gt, valid = make_pair(rng, settings)
+    out = M.match_epoch_images(
+        img0, img1, matcher="romav2",
+        work_size=96, min_certainty=0.1, num_matches=4000,
+    )
+    assert out.shape[0] > 200
+    n = settings.size
+    gx = np.clip(out[:, 0].round().astype(int), 0, n - 1)
+    gy = np.clip(out[:, 1].round().astype(int), 0, n - 1)
+    gt = (warp_gt[gy, gx] + 1) * 0.5 * n - 0.5
+    err = np.linalg.norm(out[:, 2:4] - gt, axis=1)
+    ok = valid[gy, gx]
+    assert np.median(err[ok]) < 4.0
+
+
+def test_registry_falls_back_without_roma_weights(rng, caplog, monkeypatch):
     import logging
 
     from fusion4landslide_tpu.image import matching as M
+
+    # Mask any repo-shipped weights: this test covers the unprovisioned
+    # path.
+    monkeypatch.setattr(M, "ROMA_WEIGHT_SEARCH_PATHS", ())
 
     img0 = rng.uniform(0, 255, size=(96, 96)).astype(np.float32)
     img0 = (img0 + np.roll(img0, 1, 0) + np.roll(img0, 1, 1)) / 3
