@@ -252,30 +252,34 @@ def run_f2s3_tiles_sharded(
     return results
 
 
-def make_sharded_fusion3d_step(mesh, dips_params, agg_params, **statics):
+def make_sharded_fusion3d_step(
+    mesh, dips_params, agg_params, *, with_partition_inputs=False, **statics
+):
     """Jitted multi-tile fusion_3d step over ``mesh``.
 
     Returns ``step(src (T,N,3), smask (T,N), tgt (T,M,3), tmask (T,M),
     keys (T,2), max_magnitude (T,), icp_threshold (T,), voxel_size_init
     (T,)) -> Fusion3DTileResult`` with a leading tile axis sharded over the
     mesh's ``tiles`` axis (T must be a multiple of the mesh size).
+
+    With ``with_partition_inputs=True`` the step takes two extra sharded
+    arrays ``sp_lab_src (T, L, N)`` / ``sp_lab_tgt (T, L, M)`` — per-POINT
+    partition labels per level (reference ``partition_type: superpoint``) —
+    and skips the on-device supervoxel segmentation.
     """
     per_tile = functools.partial(fusion3d_tile_step, **statics)
+    n_in = 14 if with_partition_inputs else 12
 
-    def local(
-        src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit,
-        num_min_fine, num_min_quality, thres_dd, thres_ir,
-    ):
+    def local(*args):
         return jax.lax.map(
             lambda a: per_tile(dips_params, agg_params, *a),
-            (src, smask, tgt, tmask, keys, max_mag, icp_thr, vinit,
-             num_min_fine, num_min_quality, thres_dd, thres_ir),
+            args,
         )
 
     sharded = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("tiles"),) * 12,
+        in_specs=(P("tiles"),) * n_in,
         out_specs=P("tiles"),
         check_vma=False,
     )
@@ -313,20 +317,14 @@ def run_fusion3d_tiles_sharded(
     )
     from fusion4landslide_tpu.ops.segments import bucket_size
 
-    if str(cfg.get("partition_type", "supervoxel")) == "superpoint":
-        # The device tile step partitions with multi-level supervoxels; a
-        # silent downgrade would make mesh on/off produce different
-        # partitions for this config. Require an explicit opt-in, otherwise
-        # direct the user to the host path (which runs the native
-        # superpoint hierarchy, ops/superpoint.py).
-        if not bool(cfg.get("sharded_partition_fallback", False)):
-            raise ValueError(
-                "partition_type=superpoint is not supported by the sharded "
-                "fusion_3d step (it partitions with multi-level "
-                "supervoxels). Run the host path, or set "
-                "sharded_partition_fallback: true to accept the supervoxel "
-                "partition on the mesh."
-            )
+    partition_type = str(cfg.get("partition_type", "supervoxel"))
+    use_partition_inputs = partition_type == "superpoint"
+    if use_partition_inputs and bool(
+        cfg.get("sharded_partition_fallback", False)
+    ):
+        # Legacy opt-in: accept the on-device supervoxel partition instead
+        # of host superpoint labels.
+        use_partition_inputs = False
         if logger:
             logger.warning(
                 "partition_type=superpoint: sharded step partitions with "
@@ -361,8 +359,47 @@ def run_fusion3d_tiles_sharded(
         == "assign_then_nn",
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),
     )
-    step = make_sharded_fusion3d_step(mesh, dips_params, agg_params, **statics)
-    if bool(cfg.get("prewarm", False)):
+    step = make_sharded_fusion3d_step(
+        mesh, dips_params, agg_params,
+        with_partition_inputs=use_partition_inputs, **statics,
+    )
+    levels = statics["levels"]
+
+    def _tile_partition_labels(tile_id, pts, which, size):
+        """(L, size) per-point labels from the tile's partition artifact
+        (generated natively when absent — the host path's exact files,
+        so mesh on/off share one partition source)."""
+        from fusion4landslide_tpu.ops.partition_io import (
+            read_superpoint_partition,
+        )
+
+        path = osp.join(
+            out_root, f"{partition_type}_partition",
+            f"partition_of_input_{which}_tile_{tile_id}.txt",
+        )
+        if not osp.exists(path):
+            from fusion4landslide_tpu.ops.superpoint import (
+                generate_superpoint_partition,
+            )
+
+            if logger:
+                logger.info(
+                    "partition_type=superpoint: generating native "
+                    "partition for tile %s (%s)", tile_id, which,
+                )
+            os.makedirs(osp.dirname(path), exist_ok=True)
+            # Always write the full 3-level artifact (host-path parity,
+            # pipelines/fusion.py) so either path can resume from it.
+            generate_superpoint_partition(
+                pts, path, levels=max(3, *(int(lv) for lv in levels))
+            )
+        lab = np.full((len(levels), size), -1, np.int32)
+        for li, lv in enumerate(levels):
+            _, pl = read_superpoint_partition(path, int(lv))
+            lab[li, : pl.shape[0]] = pl.astype(np.int32)
+        return lab
+
+    if bool(cfg.get("prewarm", False)) and not use_partition_inputs:
         # Compile the whole bucket program (incl. Mosaic kernels) on an
         # empty batch in the background while tile IO streams; the first
         # real dispatch blocks on the same executable, so compute never
@@ -399,7 +436,7 @@ def run_fusion3d_tiles_sharded(
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, T)
         scal = lambda v, dt=jnp.float32: jnp.full((T,), v, dt)
-        out = step(
+        args = (
             jnp.asarray(src_b),
             jnp.asarray(smask_b),
             jnp.asarray(tgt_b),
@@ -416,6 +453,14 @@ def run_fusion3d_tiles_sharded(
             scal(float(cfg.get("thres_dist_diff", 0.5))),
             scal(float(cfg.get("thres_inlier_ratio", 0.15))),
         )
+        if use_partition_inputs:
+            sp_s = np.full((T, len(levels), N), -1, np.int32)
+            sp_t = np.full((T, len(levels), M), -1, np.int32)
+            for i, (tile_id, src, tgt) in enumerate(batch):
+                sp_s[i] = _tile_partition_labels(tile_id, src, "src", N)
+                sp_t[i] = _tile_partition_labels(tile_id, tgt, "tgt", M)
+            args = args + (jnp.asarray(sp_s), jnp.asarray(sp_t))
+        out = step(*args)
         out = jax.device_get(out)
 
         for i, (tile_id, src, tgt) in enumerate(batch):

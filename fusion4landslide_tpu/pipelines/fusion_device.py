@@ -271,6 +271,8 @@ def fusion3d_tile_step(
     num_min_quality: jax.Array | int = 10,
     thres_dist_diff: jax.Array | float = 0.5,
     thres_inlier_ratio: jax.Array | float = 0.15,
+    sp_lab_src: jax.Array | None = None,  # (L, N) per-point labels, -1=none
+    sp_lab_tgt: jax.Array | None = None,  # (L, M)
     *,
     levels: tuple[int, ...] = (1, 2, 3),
     k_max: int = 512,
@@ -342,25 +344,40 @@ def fusion3d_tile_step(
 
     base_svl = jnp.maximum(radius, jnp.asarray(voxel_size_init, f32))
 
-    # The supervoxel kNN graph and PCA normals do not depend on the level
-    # radius — build them ONCE per cloud and reuse across all levels
-    # (the reference re-runs the C++ segmentation per level,
-    # coarse_to_fine_matching.py:215-287).
-    from fusion4landslide_tpu.ops.normals import pca_normals
-    from fusion4landslide_tpu.ops.supervoxel import supervoxel_graph
+    use_partition_inputs = sp_lab_src is not None
+    if use_partition_inputs:
+        # Precomputed per-POINT partition labels (reference
+        # partition_type='superpoint', base:1241-1276): each voxel takes
+        # the label of its FIRST member point — the exact transfer the
+        # host path uses (pipelines/fusion.py). No VCCS machinery needed.
+        idx_n = jnp.arange(N, dtype=jnp.int32)
+        idx_m = jnp.arange(M, dtype=jnp.int32)
+        first_s = (
+            jnp.full((N,), N, jnp.int32).at[s_p2v].min(idx_n, mode="drop")
+        )
+        first_t = (
+            jnp.full((M,), M, jnp.int32).at[t_p2v].min(idx_m, mode="drop")
+        )
+    else:
+        # The supervoxel kNN graph and PCA normals do not depend on the
+        # level radius — build them ONCE per cloud and reuse across all
+        # levels (the reference re-runs the C++ segmentation per level,
+        # coarse_to_fine_matching.py:215-287).
+        from fusion4landslide_tpu.ops.normals import pca_normals
+        from fusion4landslide_tpu.ops.supervoxel import supervoxel_graph
 
-    gi_s, gm_s = supervoxel_graph(
-        s_cent, base_svl, vvalid_s, k_neighbors=k_neighbors
-    )
-    nrm_s = pca_normals(
-        s_cent, k_neighbors, vvalid_s, neigh_idx=gi_s, neigh_mask=gm_s
-    )
-    gi_t, gm_t = supervoxel_graph(
-        t_cent, base_svl, vvalid_t, k_neighbors=k_neighbors
-    )
-    nrm_t = pca_normals(
-        t_cent, k_neighbors, vvalid_t, neigh_idx=gi_t, neigh_mask=gm_t
-    )
+        gi_s, gm_s = supervoxel_graph(
+            s_cent, base_svl, vvalid_s, k_neighbors=k_neighbors
+        )
+        nrm_s = pca_normals(
+            s_cent, k_neighbors, vvalid_s, neigh_idx=gi_s, neigh_mask=gm_s
+        )
+        gi_t, gm_t = supervoxel_graph(
+            t_cent, base_svl, vvalid_t, k_neighbors=k_neighbors
+        )
+        nrm_t = pca_normals(
+            t_cent, k_neighbors, vvalid_t, neigh_idx=gi_t, neigh_mask=gm_t
+        )
 
     merged_R = jnp.broadcast_to(jnp.eye(3, dtype=f32), (N, 3, 3))
     merged_t = jnp.zeros((N, 3), f32)
@@ -389,7 +406,24 @@ def fusion3d_tile_step(
     for li, level in enumerate(levels):
         sv_cap_l = sv_caps[li]
         svl_radius = base_svl * (2.0 ** (int(level) - 1))
-        if li == 0 or not nested_levels:
+        if use_partition_inputs:
+            raw_s = jnp.where(
+                vvalid_s & (first_s < N),
+                jnp.take(
+                    sp_lab_src[li].astype(jnp.int32),
+                    jnp.clip(first_s, 0, N - 1),
+                ),
+                -1,
+            )
+            raw_t = jnp.where(
+                vvalid_t & (first_t < M),
+                jnp.take(
+                    sp_lab_tgt[li].astype(jnp.int32),
+                    jnp.clip(first_t, 0, M - 1),
+                ),
+                -1,
+            )
+        elif li == 0 or not nested_levels:
             seg_s = supervoxel_segmentation(
                 s_cent, svl_radius, vvalid_s,
                 neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,

@@ -272,6 +272,79 @@ def test_sharded_fusion3d_recovers_rigid_shift(rng, tmp_path):
 
 
 @needs_mesh
+def test_sharded_fusion3d_superpoint_partition_inputs(rng, tmp_path):
+    """partition_type=superpoint on the mesh: the sharded step consumes
+    host-generated per-point partition labels (no silent supervoxel
+    downgrade), produces the same artifacts as the host path run from the
+    SAME partition files, and both recover the planted shift."""
+    import shutil
+
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.parallel import (
+        run_fusion3d_tiles_sharded,
+        tile_mesh,
+    )
+    from fusion4landslide_tpu.pipelines.fusion import run_fusion3d_tile
+
+    dips, agg = _fusion_params()
+    n = 200
+    base = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    shift = np.asarray([0.02, -0.015, 0.01], np.float32)
+    tiles = [(i, base + i * 0.001, base + i * 0.001 + shift) for i in range(8)]
+
+    opts = {
+        "feat_k_max": 16,
+        "feat_patch_points": 16,
+        "feat_chunk": 32,
+        "sv_cap": 64,
+        "member_cap": 64,
+        "agg_max_points": 32,
+        "num_min_matches_for_small_patch": 3,
+        "level_of_superpoint": [1, 2],
+        "partition_type": "superpoint",
+        "max_magnitude": 10.0,
+        "icp_threshold": 0.1,
+        "output_tgt2src": False,
+    }
+    cfg = Config(
+        {"output_dir": str(tmp_path / "mesh"), "output_folder": "run", **opts}
+    )
+    res = run_fusion3d_tiles_sharded(
+        cfg, dips, agg, tiles, mesh=tile_mesh(8), rng_seed=0
+    )
+    assert set(res) == set(range(8))
+    # The sharded run generated the host-format partition artifacts.
+    part = tmp_path / "mesh" / "run" / "superpoint_partition"
+    assert (part / "partition_of_input_src_tile_5.txt").exists()
+    got = np.loadtxt(
+        tmp_path / "mesh" / "run" / "results" / "c2f_dvfs_src2tgt_tile_5.txt"
+    )
+    assert got.shape[0] > 50
+    np.testing.assert_allclose(
+        got[:, 3:6] - got[:, :3], np.tile(shift, (got.shape[0], 1)),
+        atol=1e-3,
+    )
+
+    # Host path from the SAME partition files -> same partition source.
+    cfg_h = Config(
+        {"output_dir": str(tmp_path / "host"), "output_folder": "run", **opts}
+    )
+    shutil.copytree(part, tmp_path / "host" / "run" / "superpoint_partition")
+    run_fusion3d_tile(
+        cfg_h, dips, agg, tiles[5][1], tiles[5][2], tile_id=5
+    )
+    host = np.loadtxt(
+        tmp_path / "host" / "run" / "results" / "c2f_dvfs_src2tgt_tile_5.txt"
+    )
+    assert host.shape[0] > 50
+    np.testing.assert_allclose(
+        np.median(host[:, 3:6] - host[:, :3], axis=0),
+        np.median(got[:, 3:6] - got[:, :3], axis=0),
+        atol=1e-3,
+    )
+
+
+@needs_mesh
 def test_sharded_piecewise_matches_serial(rng, tmp_path):
     from fusion4landslide_tpu.config import Config
     from fusion4landslide_tpu.parallel import run_piecewise_tiles_sharded, tile_mesh
