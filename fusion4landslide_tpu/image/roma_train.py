@@ -155,6 +155,8 @@ def train_roma(
     seed: int = 0,
     log_every: int = 200,
     logger=None,
+    checkpoint_to: str | None = None,
+    checkpoint_every: int = 500,
 ):
     """Train the compact RoMa matcher on synthetic homographies.
 
@@ -213,7 +215,17 @@ def train_roma(
                 f"roma_train step {it}: loss={float(loss):.4f} "
                 f"epe={epe:.4f} (~{epe * settings.size / 2:.2f} px)"
             )
-            (logger.info if logger else print)(msg)
+            if logger:
+                logger.info(msg)
+            else:
+                print(msg, flush=True)
+        if (
+            checkpoint_to
+            and it
+            and (it % checkpoint_every == 0 or it == settings.steps - 1)
+        ):
+            # Periodic save so a bounded/killed run keeps its progress.
+            save_roma_weights(checkpoint_to, params, cfg)
     return params, cfg, history
 
 
@@ -228,10 +240,12 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     settings = TrainSettings(size=args.size, steps=args.steps, lr=args.lr)
-    params, cfg, history = train_roma(settings, seed=args.seed)
     import os
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    params, cfg, history = train_roma(
+        settings, seed=args.seed, checkpoint_to=args.out
+    )
     save_roma_weights(args.out, params, cfg)
     print(f"saved {args.out}; final EPE {history[-1]:.4f}")
 

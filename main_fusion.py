@@ -151,12 +151,14 @@ def main() -> None:
 
     use_mesh = cfg.get("use_mesh", "auto")
     if use_mesh == "auto":
+        # superpoint partitions are generated host-side and fed into the
+        # sharded step as per-point label inputs, so they no longer gate
+        # the mesh path.
         use_mesh = (
             jax.device_count() > 1
             and len(tiles) > 1
             and image_kit is None
             and image_candidates is None
-            and str(cfg.get("partition_type", "supervoxel")) != "superpoint"
         )
     if use_mesh and (image_kit is not None or image_candidates is not None):
         logger.warning(
