@@ -46,6 +46,8 @@ __all__ = [
     "EfficientLoFTRFlax",
     "eloftr_match",
     "load_torch_eloftr",
+    "save_eloftr_weights",
+    "load_eloftr_weights",
 ]
 
 
@@ -677,3 +679,41 @@ def load_torch_eloftr(
 
     params = jax.tree.map(jnp.asarray, {"params": params})
     return params, cfg
+
+
+# --------------------------------------------------------------------------
+# Flax-native weight serialisation (in-environment trained checkpoints,
+# image.eloftr_train — mirrors image.roma.save_roma_weights).
+# --------------------------------------------------------------------------
+
+
+def save_eloftr_weights(path: str, params, cfg: ELoFTRConfig) -> None:
+    """Serialise trained parameters + config as a numpy ``.npz`` of
+    flattened leaves (no external deps)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    arrays["__cfg__"] = np.frombuffer(
+        repr(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_eloftr_weights(path: str):
+    """Load (params, cfg) written by :func:`save_eloftr_weights`."""
+    import ast
+
+    from flax.traverse_util import unflatten_dict
+
+    data = np.load(path, allow_pickle=False)
+    cfg_dict = ast.literal_eval(bytes(data["__cfg__"]).decode())
+    for k in ("stage_num_blocks", "out_features", "stage_stride"):
+        cfg_dict[k] = tuple(cfg_dict[k])
+    cfg = ELoFTRConfig(**cfg_dict)
+    flat = {
+        tuple(k.split("/")): jnp.asarray(v)
+        for k, v in data.items()
+        if k != "__cfg__"
+    }
+    return unflatten_dict(flat), cfg

@@ -391,6 +391,7 @@ WEIGHT_SEARCH_PATHS = (
     "weights/efficientloftr",
     "weights/eloftr.safetensors",
     "weights/eloftr_outdoor.ckpt",
+    "weights/eloftr_tiny.npz",
 )
 
 ROMA_WEIGHT_SEARCH_PATHS = (
@@ -437,6 +438,7 @@ def _eloftr_matcher(img0, img1, *, params=None, weights=None, **_):
         EfficientLoFTRFlax,
         ELoFTRConfig,
         eloftr_match,
+        load_eloftr_weights,
         load_torch_eloftr,
     )
 
@@ -444,7 +446,10 @@ def _eloftr_matcher(img0, img1, *, params=None, weights=None, **_):
         weights = resolve_learned_weights(weights)
         key = weights or "__random__"
         if key not in _ELOFTR_CACHE:
-            if weights is not None:
+            if weights is not None and str(weights).endswith(".npz"):
+                # In-environment trained checkpoint (image.eloftr_train).
+                _ELOFTR_CACHE[key] = load_eloftr_weights(weights)
+            elif weights is not None:
                 _ELOFTR_CACHE[key] = load_torch_eloftr(weights)
             else:
                 import warnings

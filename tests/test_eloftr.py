@@ -230,13 +230,19 @@ def test_save_pretrained_directory_roundtrip(torch_model, images, tmp_path):
     assert uv.shape[1] == 4
 
 
-def test_learned_matcher_falls_back_without_weights(images, caplog):
+def test_learned_matcher_falls_back_without_weights(
+    images, caplog, monkeypatch
+):
     """match_epoch_images with matcher='eloftr' and NO provisioned weights
     must fall back to ZNCC with a warning — random-initialised learned
     matching never runs implicitly."""
     import logging
 
     from fusion4landslide_tpu.image import matching as M
+
+    # Mask any repo-shipped weights: this test covers the unprovisioned
+    # path.
+    monkeypatch.setattr(M, "WEIGHT_SEARCH_PATHS", ())
 
     img0, img1 = images
     logger = logging.getLogger("test_eloftr_fallback")

@@ -97,6 +97,7 @@ def test_prune_recovers_rigid_shift(filt, rng):
     )
 
 
+@pytest.mark.slow
 def test_run_f2s3_tile_end_to_end(dips, filt, tmp_path, rng):
     _, dips_params = dips
     _, filt_params = filt

@@ -77,11 +77,14 @@ def test_icp_by_type_variants_converge(rng):
         )
 
 
-def test_sharded_fusion_rejects_superpoint_partition():
+def test_sharded_fusion_accepts_superpoint_partition():
+    """partition_type=superpoint no longer refuses the mesh path: the
+    sharded runner consumes host-generated per-point labels as sharded
+    step inputs (full mesh-path coverage in
+    tests/test_parallel.py::test_sharded_fusion3d_superpoint_partition_inputs)."""
     from fusion4landslide_tpu.parallel.pipeline import (
         run_fusion3d_tiles_sharded,
     )
 
     cfg = {"partition_type": "superpoint"}
-    with pytest.raises(ValueError, match="superpoint"):
-        run_fusion3d_tiles_sharded(cfg, None, None, [])
+    assert run_fusion3d_tiles_sharded(cfg, None, None, []) == {}

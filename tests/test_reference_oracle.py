@@ -122,6 +122,7 @@ def _disp_map(table, decimals=4):
     return out
 
 
+@pytest.mark.slow
 def test_f2s3_tile_matches_reference_pruning_oracle(ref_modules, tmp_path, rng):
     """run_f2s3_tile's DVF table vs the reference pruning algorithm run on
     the same features + partition with the SHIPPED filter weights: median

@@ -84,6 +84,7 @@ def test_weights_roundtrip(tiny_model, tmp_path, rng):
     )
 
 
+@pytest.mark.slow
 def test_training_reduces_epe():
     """The architecture learns: a short synthetic-homography run must cut
     the end-point error substantially from its random-init value."""

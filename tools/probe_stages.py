@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Per-stage timing probe of the fusion_3d device step on the live chip.
+
+Times each stage of ``pipelines.fusion_device.fusion3d_tile_step`` as an
+independent jit (same inputs/statics as ``bench.py``'s e2e mode) so the
+optimisation budget is always itemised. Results are synced by a host
+transfer (on the tunnelled backend ``block_until_ready`` returns at
+dispatch-ack).
+
+Usage: python tools/probe_stages.py [N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _keepalive, _models, synth_epoch_pair
+    from fusion4landslide_tpu.ops.hashgrid import (
+        knn_grid_traced,
+        median_nn_distance_traced,
+    )
+    from fusion4landslide_tpu.ops.segments import bucket_size, label_members
+    from fusion4landslide_tpu.ops.supervoxel import (
+        supervoxel_graph,
+        supervoxel_segmentation,
+    )
+    from fusion4landslide_tpu.ops.normals import pca_normals
+    from fusion4landslide_tpu.ops.voxel import voxel_downsample
+    from fusion4landslide_tpu.pipelines.f2s3_device import (
+        dips_features_device,
+        drop_small_and_compact,
+    )
+    from fusion4landslide_tpu.pipelines.fusion import (
+        fine_match_pairs,
+        global_matches_3d,
+    )
+    from fusion4landslide_tpu.pipelines.fusion_device import (
+        _aggregate_chunked,
+        _segment_centroids,
+        coarse_match_superpoints_chunked,
+    )
+
+    stop = _keepalive()
+    dips_params, agg_params = _models()
+    src_np, tgt_np, extent = synth_epoch_pair(n)
+    N = bucket_size(n)
+    c = src_np.mean(axis=0)
+    src = jnp.zeros((N, 3), jnp.float32).at[:n].set(src_np - c)
+    tgt = jnp.zeros((N, 3), jnp.float32).at[:n].set(tgt_np - c)
+    mask = jnp.arange(N) < n
+    key = jax.random.PRNGKey(0)
+    sv_cap = max(bucket_size(max(N // 16, 1)), 64)
+    timings: dict[str, float] = {}
+
+    def timeit(name, fn, *args, reps=3, **kw):
+        f = jax.jit(fn, **kw)
+        out = f(*args)
+        jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, out
+        )  # sync cold
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(*args)
+            jax.tree.map(
+                lambda x: np.asarray(jnp.ravel(x)[:1])
+                if hasattr(x, "shape")
+                else x,
+                out,
+            )
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = best
+        print(f"{name:34s} {best * 1e3:9.1f} ms", flush=True)
+        return f(*args)
+
+    res = timeit(
+        "median_resolution x2",
+        lambda a, b, ma, mb: (
+            median_nn_distance_traced(a, ma),
+            median_nn_distance_traced(b, mb),
+        ),
+        src, tgt, mask, mask,
+    )
+    median_res = jnp.maximum(res[0], res[1])
+    radius = jnp.sqrt(3.0) * 10.0 * median_res
+
+    vox = timeit(
+        "voxel_downsample x2",
+        lambda a, b, ma, mb, r: (
+            voxel_downsample(a, r, ma),
+            voxel_downsample(b, r, mb),
+        ),
+        src, tgt, mask, mask, median_res,
+    )
+    (s_cent, s_p2v, _, s_nv), (t_cent, t_p2v, _, t_nv) = vox
+    vvalid_s = jnp.arange(N) < s_nv
+    vvalid_t = jnp.arange(N) < t_nv
+
+    feat_kw = dict(
+        k_max=512, patch_points=256, chunk=2048, dtype="bfloat16",
+    )
+    src_feat = timeit(
+        "dips_features (src)",
+        lambda *a: dips_features_device(*a, **feat_kw),
+        dips_params, s_cent, src, mask, radius, key,
+    )
+    tgt_feat = timeit(
+        "dips_features (tgt)",
+        lambda *a: dips_features_device(*a, **feat_kw),
+        dips_params, t_cent, tgt, mask, radius, key,
+    )
+
+    gout = timeit(
+        "global_matches_3d",
+        lambda *a: global_matches_3d(*a),
+        src_feat, tgt_feat, s_cent, t_cent,
+        jnp.asarray(5.0, jnp.float32), vvalid_s, vvalid_t,
+    )
+    g_idx, g_valid = gout
+
+    base_svl = radius
+    graphs = timeit(
+        "supervoxel_graph+normals x2",
+        lambda a, b, va, vb, r: (
+            *(lambda gi, gm: (gi, gm, pca_normals(
+                a, 15, va, neigh_idx=gi, neigh_mask=gm)))(
+                *supervoxel_graph(a, r, va, k_neighbors=15)),
+            *(lambda gi, gm: (gi, gm, pca_normals(
+                b, 15, vb, neigh_idx=gi, neigh_mask=gm)))(
+                *supervoxel_graph(b, r, vb, k_neighbors=15)),
+        ),
+        s_cent, t_cent, vvalid_s, vvalid_t, base_svl,
+    )
+    gi_s, gm_s, nrm_s, gi_t, gm_t, nrm_t = graphs
+
+    seg = timeit(
+        "supervoxel_segmentation L1 x2",
+        lambda a, b, va, vb, r: (
+            supervoxel_segmentation(
+                a, r, va, neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s
+            ).labels,
+            supervoxel_segmentation(
+                b, r, vb, neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t
+            ).labels,
+        ),
+        s_cent, t_cent, vvalid_s, vvalid_t, base_svl,
+    )
+    raw_s, raw_t = seg
+    lab_s, n_s = drop_small_and_compact(raw_s, vvalid_s, 10)
+    lab_t, n_t = drop_small_and_compact(raw_t, vvalid_t, 10)
+
+    timeit(
+        "segment_centroids L2 x2",
+        lambda a, b, ls, lt, ns, nt, r: (
+            _segment_centroids(a, ls, sv_cap, ns, r * 2, 15),
+            _segment_centroids(b, lt, sv_cap, nt, r * 2, 15),
+        ),
+        s_cent, t_cent, lab_s, lab_t, n_s, n_t, base_svl,
+    )
+
+    mems = timeit(
+        "label_members x2",
+        lambda ls, lt: (
+            label_members(ls, sv_cap, 512),
+            label_members(lt, sv_cap, 512),
+        ),
+        lab_s, lab_t,
+    )
+    (mem_s, memmask_s), (mem_t, memmask_t) = mems
+
+    agg = timeit(
+        "aggregate x2",
+        lambda fa, fb, ca, cb, ma, mb, mma, mmb: (
+            _aggregate_chunked(
+                agg_params, fa, ca, ma, mma, agg_max_points=512
+            ),
+            _aggregate_chunked(
+                agg_params, fb, cb, mb, mmb, agg_max_points=512
+            ),
+        ),
+        src_feat, tgt_feat, s_cent, t_cent,
+        mem_s, mem_t, memmask_s, memmask_t,
+    )
+    (spt_feat_s, spt_coord_s), (spt_feat_t, spt_coord_t) = agg
+
+    svalid_s = jnp.arange(sv_cap) < n_s
+    svalid_t = jnp.arange(sv_cap) < n_t
+    cm = timeit(
+        "coarse_match",
+        lambda *a: coarse_match_superpoints_chunked(*a, 5.0),
+        spt_feat_s, spt_coord_s, svalid_s,
+        spt_feat_t, spt_coord_t, svalid_t,
+    )
+    tgt_of_src, pair_valid = cm
+
+    fine = timeit(
+        "fine_match_pairs",
+        lambda *a: fine_match_pairs(
+            *a,
+            num_min_quality=10, thres_dist_diff=0.5,
+            thres_inlier_ratio=0.15, num_min_fine=10,
+            icp_threshold=0.1, icp_max_iter=30,
+            icp_type="point2point", fine_max_matches=256,
+        ),
+        mem_s, memmask_s & pair_valid[:, None],
+        jnp.where(pair_valid, tgt_of_src, -1).astype(jnp.int32),
+        g_idx.astype(jnp.int32), g_valid, lab_t, s_cent, t_cent,
+    )
+
+    timeit(
+        "sparse knn_grid (assign_then_nn)",
+        lambda q, r, mr: knn_grid_traced(
+            q, r, 1, r0=2.0 * mr, ref_mask=mask, query_mask=mask,
+            r_max=mr * 8.0,
+        ),
+        src, tgt, median_res,
+    )
+
+    total = sum(timings.values())
+    print(f"{'TOTAL (sum of stages)':34s} {total * 1e3:9.1f} ms")
+    stop.set()
+
+
+if __name__ == "__main__":
+    main()
