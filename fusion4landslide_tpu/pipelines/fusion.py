@@ -993,6 +993,15 @@ def _fusion_tile_core(
                 raw_t = np.asarray(seg_t.labels)
             lab_s, n_s = _compact_labels(raw_s, small_patch)
             lab_t, n_t = _compact_labels(raw_t, small_patch)
+            if bool(cfg.get("use_debugging", False)):
+                # Reference debug subsetting (coarse_to_fine_matching.py:
+                # 292-308): process only the first num_spt superpoints of
+                # each epoch.
+                num_spt = int(cfg.get("num_spt", 2))
+                lab_s = np.where(lab_s < num_spt, lab_s, -1)
+                lab_t = np.where(lab_t < num_spt, lab_t, -1)
+                n_s = min(n_s, num_spt)
+                n_t = min(n_t, num_spt)
         _log(f"tile {tile_id}: stage coarse+fine level {level}")
         mctx = timer.stage(f"match_l{level}")
         with mctx:

@@ -183,3 +183,50 @@ def test_fine_match_pairs_compaction_large_patch(rng):
     assert int(np.asarray(res.n_matches)[0]) == 256
     np.testing.assert_allclose(np.asarray(res.t)[0], shift, atol=1e-3)
     np.testing.assert_allclose(np.asarray(res.R)[0], np.eye(3), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_debug_subsetting_limits_superpoints(tmp_path, rng):
+    """use_debugging truncates each level to the first num_spt superpoints
+    (reference start_debugging 'reduce_num_spt',
+    coarse_to_fine_matching.py:292-308): the debug run completes and
+    assigns no more points than the full run."""
+    dips_params = PointNetFeature().init(
+        jax.random.PRNGKey(0), np.zeros((2, 16, 3), np.float32)
+    )
+    agg_params = ClusterFeatureNet().init(
+        jax.random.PRNGKey(1),
+        np.zeros((2, 8, 64), np.float32),
+        np.ones((2, 8), bool),
+    )
+    n = 500
+    xy = rng.uniform(0, 10, size=(n, 2))
+    z = np.sin(xy[:, 0]) * 0.5
+    src = np.column_stack([xy, z]).astype(np.float64)
+    tgt = src + np.array([0.05, 0.0, 0.02])
+    cfg = {
+        "max_magnitude": 5.0,
+        "icp_threshold": 0.3,
+        "level_of_superpoint": [1],
+        "num_min_fine_match": 5,
+        "num_min_matches_for_small_patch": 3,
+        "voxel_size_init": 0.1,
+        "assign_type": "assign",
+        "output_dir": str(tmp_path),
+        "output_folder": "dbg",
+        "dataset": "brienz_tls",
+        "feat_k_max": 16,
+        "feat_patch_points": 16,
+        "feat_chunk": 64,
+        "use_debugging": True,
+        "num_spt": 1,
+    }
+    out = run_fusion3d_tile(
+        cfg, dips_params, agg_params, src, tgt, tile_id=0
+    )
+    full = run_fusion3d_tile(
+        dict(cfg, use_debugging=False, output_folder="full"),
+        dips_params, agg_params, src, tgt, tile_id=0,
+    )
+    assert out["assigned_fraction"] <= full["assigned_fraction"] + 1e-9
+    assert (tmp_path / "dbg" / "results").exists()
