@@ -355,6 +355,7 @@ def run_fusion3d_tiles_sharded(
         agg_max_points=min(int(cfg.get("agg_max_points", 512)), member_cap),
         small_patch=int(cfg.get("num_min_matches_for_small_patch", 10)),
         icp_type=str(cfg.get("icp_type", "point2point")),
+        icp_max_iter=30 if bool(cfg.get("icp_refine", True)) else 0,
         with_sparse=str(cfg.get("assign_type", "assign_then_nn"))
         == "assign_then_nn",
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),
@@ -775,6 +776,7 @@ def run_rgb_guided_tiles_sharded(
         member_cap=member_cap,
         mode=mode,
         icp_type=str(cfg.get("icp_type", "point2point")),
+        icp_max_iter=30 if bool(cfg.get("icp_refine", True)) else 0,
     )
 
     out_dir = cfg.get("output_root") or os.path.join(

@@ -578,6 +578,9 @@ def _fusion_tile_core(
     max_mag = float(cfg.get("max_magnitude", 10.0))
     icp_thr = float(cfg.get("icp_threshold", 0.1))
     icp_type = str(cfg.get("icp_type", "point2point"))
+    # icp_refine: False skips the post-SVD ICP refinement (reference
+    # base:3346; max_iter=0 returns the SVD transform with its metrics).
+    icp_iter = 30 if bool(cfg.get("icp_refine", True)) else 0
     levels = list(cfg.get("level_of_superpoint", [1, 2, 3]) or [1])
     num_min_fine = int(cfg.get("num_min_fine_match", 10))
     num_min_quality = int(cfg.get("num_min_matches_for_quality_check", 10))
@@ -1117,6 +1120,7 @@ def _fusion_tile_core(
                     num_min_fine=num_min_fine,
                     icp_threshold=icp_thr,
                     icp_type=icp_type,
+                    icp_max_iter=icp_iter,
                     **fine_kw,
                 )
                 fR = np.asarray(fine.R)[:n_pairs]

@@ -303,6 +303,7 @@ def run_rgb_guided_tile(
             jnp.asarray(tgt_match),
             icp_threshold=float(cfg.get("icp_threshold", cfg.get("threshold", 0.1))),
             icp_type=str(cfg.get("icp_type", "point2point")),
+            icp_max_iter=30 if bool(cfg.get("icp_refine", True)) else 0,
         )
         Rs = np.asarray(ref.R)
         ts = np.asarray(ref.t)

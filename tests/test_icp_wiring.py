@@ -88,3 +88,32 @@ def test_sharded_fusion_accepts_superpoint_partition():
 
     cfg = {"partition_type": "superpoint"}
     assert run_fusion3d_tiles_sharded(cfg, None, None, []) == {}
+
+
+def test_icp_refine_false_returns_svd_transform(rng):
+    """icp_refine: False (reference base:3346) skips the post-SVD ICP:
+    fine matching with icp_max_iter=0 still recovers a rigid shift from
+    the correspondences alone (the SVD estimate with its metrics)."""
+    import numpy as np
+
+    from fusion4landslide_tpu.pipelines.fusion import fine_match_pairs
+
+    P = 64
+    vox_s = rng.uniform(0, 4, size=(P, 3)).astype(np.float32)
+    shift = np.array([0.2, -0.1, 0.05], np.float32)
+    vox_t = (vox_s + shift).astype(np.float32)
+    res = fine_match_pairs(
+        np.arange(P)[None].astype(np.int32),
+        np.ones((1, P), bool),
+        np.array([0], np.int32),
+        np.arange(P).astype(np.int32),
+        np.ones(P, bool),
+        np.zeros(P, np.int32),
+        vox_s,
+        vox_t,
+        icp_threshold=0.3,
+        num_min_fine=10,
+        icp_max_iter=0,
+    )
+    assert np.asarray(res.valid)[0]
+    np.testing.assert_allclose(np.asarray(res.t)[0], shift, atol=1e-3)
