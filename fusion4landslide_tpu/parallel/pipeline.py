@@ -356,6 +356,10 @@ def run_fusion3d_tiles_sharded(
         small_patch=int(cfg.get("num_min_matches_for_small_patch", 10)),
         icp_type=str(cfg.get("icp_type", "point2point")),
         icp_max_iter=30 if bool(cfg.get("icp_refine", True)) else 0,
+        coarse_mutual=(
+            str(cfg.get("coarse_refinement_3d_type", "nn_mutual"))
+            != "only_max_mag"
+        ),
         with_sparse=str(cfg.get("assign_type", "assign_then_nn"))
         == "assign_then_nn",
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),
@@ -451,8 +455,16 @@ def run_fusion3d_tiles_sharded(
                 int(cfg.get("num_min_matches_for_quality_check", 10)),
                 jnp.int32,
             ),
-            scal(float(cfg.get("thres_dist_diff", 0.5))),
-            scal(float(cfg.get("thres_inlier_ratio", 0.15))),
+            scal(
+                float(cfg.get("thres_dist_diff", 0.5))
+                if bool(cfg.get("remove_low_quality_patch_matches", True))
+                else float("inf")
+            ),
+            scal(
+                float(cfg.get("thres_inlier_ratio", 0.15))
+                if bool(cfg.get("remove_low_quality_patch_matches", True))
+                else 0.0
+            ),
         )
         if use_partition_inputs:
             sp_s = np.full((T, len(levels), N), -1, np.int32)

@@ -586,6 +586,17 @@ def _fusion_tile_core(
     num_min_quality = int(cfg.get("num_min_matches_for_quality_check", 10))
     thres_dd = float(cfg.get("thres_dist_diff", 0.5))
     thres_ir = float(cfg.get("thres_inlier_ratio", 0.15))
+    if not bool(cfg.get("remove_low_quality_patch_matches", True)):
+        # Reference base:3299: the isometry quality gate is optional —
+        # disable both of its thresholds.
+        thres_ir = 0.0
+        thres_dd = float("inf")
+    # coarse_refinement_3d_type (base:2977-2999): 'nn_mutual' (default)
+    # adds the mutual check; 'only_max_mag' keeps every in-magnitude NN.
+    mutual_3d = (
+        str(cfg.get("coarse_refinement_3d_type", "nn_mutual"))
+        != "only_max_mag"
+    )
     small_patch = int(cfg.get("num_min_matches_for_small_patch", 10))
     assign_type = str(cfg.get("assign_type", "assign_then_nn"))
     out_tgt2src = bool(cfg.get("output_tgt2src", False))
@@ -1052,6 +1063,7 @@ def _fusion_tile_core(
                         spt_feat_s, spt_coord_s, valid_s,
                         spt_feat_t, spt_coord_t, valid_t,
                         max_mag,
+                        mutual=mutual_3d,
                     )
                     tgt_of_src = np.asarray(tgt_of_src)
                     pair_valid = np.asarray(pair_valid)

@@ -248,6 +248,7 @@ class Fusion3DTileResult(NamedTuple):
         "icp_type",
         "fine_max_matches",
         "nested_levels",
+        "coarse_mutual",
         "with_sparse",
         "with_tgt2src",
         "precision",
@@ -287,6 +288,7 @@ def fusion3d_tile_step(
     icp_type: str = "point2point",
     fine_max_matches: int = 256,
     nested_levels: bool = True,
+    coarse_mutual: bool = True,
     with_sparse: bool = True,
     with_tgt2src: bool = True,
     precision: str = "default",
@@ -474,6 +476,7 @@ def fusion3d_tile_step(
             spt_feat_s, spt_coord_s, svalid_s,
             spt_feat_t, spt_coord_t, svalid_t,
             jnp.asarray(max_magnitude, f32),
+            mutual=coarse_mutual,
         )
 
         # 5. Fine matching per matched pair (base:3236-3436): every src

@@ -230,3 +230,51 @@ def test_debug_subsetting_limits_superpoints(tmp_path, rng):
     )
     assert out["assigned_fraction"] <= full["assigned_fraction"] + 1e-9
     assert (tmp_path / "dbg" / "results").exists()
+
+
+def test_coarse_refinement_only_max_mag_skips_mutual(rng):
+    """coarse_refinement_3d_type='only_max_mag' (base:2991-2993): every
+    in-magnitude NN survives, no mutual check."""
+    S = 12
+    feat_s = rng.normal(size=(S, 64)).astype(np.float32)
+    # Two source superpoints share one target NN: under the mutual check
+    # one of them loses; with only_max_mag both keep their NN.
+    feat_t = feat_s.copy()
+    feat_s[1] = feat_s[0] + 1e-3
+    coord = rng.uniform(0, 5, size=(S, 3)).astype(np.float32)
+    _, v_mut = coarse_match_superpoints(
+        feat_s, coord, np.ones(S, bool),
+        feat_t, coord, np.ones(S, bool), 10.0, mutual=True,
+    )
+    _, v_all = coarse_match_superpoints(
+        feat_s, coord, np.ones(S, bool),
+        feat_t, coord, np.ones(S, bool), 10.0, mutual=False,
+    )
+    assert np.asarray(v_all).sum() > np.asarray(v_mut).sum()
+    assert np.asarray(v_all).all()
+
+
+def test_quality_gate_disabled_passes_non_isometric_patch(rng):
+    """remove_low_quality_patch_matches=False maps to a zero isometry
+    threshold (base:3299): a scrambled patch that fails the gate at 0.15
+    passes with the gate off."""
+    P = 64
+    vox_s = rng.uniform(0, 4, size=(2 * P, 3)).astype(np.float32)
+    vox_t = rng.uniform(0, 4, size=(2 * P, 3)).astype(np.float32)
+    lab_t = np.zeros(2 * P, np.int32)
+    corres = rng.integers(0, 2 * P, 2 * P).astype(np.int32)
+    members = np.arange(P)[None].astype(np.int32)
+    mask = np.ones((1, P), bool)
+    kw = dict(icp_threshold=0.3, num_min_fine=5, num_min_quality=5)
+    gated = fine_match_pairs(
+        members, mask, np.array([0], np.int32), corres,
+        np.ones(2 * P, bool), lab_t, vox_s, vox_t,
+        thres_inlier_ratio=0.15, **kw,
+    )
+    open_ = fine_match_pairs(
+        members, mask, np.array([0], np.int32), corres,
+        np.ones(2 * P, bool), lab_t, vox_s, vox_t,
+        thres_inlier_ratio=0.0, thres_dist_diff=np.inf, **kw,
+    )
+    assert not np.asarray(gated.valid)[0]
+    assert np.asarray(open_.valid)[0]
