@@ -51,6 +51,15 @@ def ensure_tiles(cfg: Config, logger) -> None:
     (artifact-level resume, main_piecewise_icp.py:60-75)."""
     from fusion4landslide_tpu.tiling import tile_point_clouds
 
+    tiling_type = str(cfg.get("tiling_type", "xy_tiling"))
+    if tiling_type != "xy_tiling":
+        # The reference dispatches on tiling_type but its hv_tiling /
+        # python_based_tiling branches are stubs returning None
+        # (src/functions.py:170-173); fail loudly instead.
+        raise ValueError(
+            f"tiling_type={tiling_type!r} is not implemented (the reference "
+            "only ships xy_tiling, src/functions.py:147-173)"
+        )
     os.makedirs(cfg.tile_dir, exist_ok=True)
     if any(os.listdir(cfg.tile_dir)):
         logger.info("Skip tiling; tiles loaded from %s", cfg.tile_dir)

@@ -76,3 +76,17 @@ def test_file_level_api(tmp_path, rng):
     )
     assert 0 < len(tile0) <= 600
     assert len(halo0) >= len(tile0)
+
+
+def test_unknown_tiling_type_raises(tmp_path):
+    """tiling_type other than xy_tiling fails loudly (the reference's
+    hv/python branches are stubs returning None, functions.py:170-173)."""
+    import logging
+
+    import pytest
+
+    from fusion4landslide_tpu.pipelines.driver import ensure_tiles
+
+    cfg = {"tiling_type": "hv_tiling", "tile_dir": str(tmp_path / "t")}
+    with pytest.raises(ValueError, match="hv_tiling"):
+        ensure_tiles(cfg, logging.getLogger("t"))
