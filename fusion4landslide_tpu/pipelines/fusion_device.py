@@ -426,15 +426,30 @@ def fusion3d_tile_step(
                 -1,
             )
         elif li == 0 or not nested_levels:
-            seg_s = supervoxel_segmentation(
-                s_cent, svl_radius, vvalid_s,
-                neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,
-            )
-            seg_t = supervoxel_segmentation(
-                t_cent, svl_radius, vvalid_t,
-                neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t,
-            )
-            raw_s, raw_t = seg_s.labels, seg_t.labels
+            if s_cent.shape == t_cent.shape:
+                # Both clouds in ONE batched propagation loop: sweeps cost
+                # max() instead of sum() of the two convergence counts.
+                from fusion4landslide_tpu.ops.supervoxel import (
+                    supervoxel_segmentation_pair,
+                )
+
+                segs = supervoxel_segmentation_pair(
+                    jnp.stack([s_cent, t_cent]), svl_radius,
+                    jnp.stack([vvalid_s, vvalid_t]),
+                    jnp.stack([gi_s, gi_t]), jnp.stack([gm_s, gm_t]),
+                    jnp.stack([nrm_s, nrm_t]),
+                )
+                raw_s, raw_t = segs.labels[0], segs.labels[1]
+            else:
+                seg_s = supervoxel_segmentation(
+                    s_cent, svl_radius, vvalid_s,
+                    neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,
+                )
+                seg_t = supervoxel_segmentation(
+                    t_cent, svl_radius, vvalid_t,
+                    neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t,
+                )
+                raw_s, raw_t = seg_s.labels, seg_t.labels
         else:
             raw_s = _segment_centroids(
                 s_cent, lab_s_prev, sv_caps[li - 1], n_s_prev,

@@ -55,6 +55,7 @@ class RGBGuidedTileResult(NamedTuple):
         "member_cap",
         "mode",
         "icp_type",
+        "icp_max_iter",
     ),
 )
 def rgb_guided_tile_step(
@@ -81,6 +82,7 @@ def rgb_guided_tile_step(
     member_cap: int = 512,
     mode: str = "nn_src_only",
     icp_type: str = "point2point",
+    icp_max_iter: int = 30,
 ) -> RGBGuidedTileResult:
     """One RGB-guided tile, entirely on device (reference
     ``implement_rgb_guided_estimation``, rgb_guided.py:1064-1639)."""
@@ -152,6 +154,7 @@ def rgb_guided_tile_step(
         tgt_match,
         icp_threshold=icp_threshold,
         icp_type=icp_type,
+        icp_max_iter=icp_max_iter,
     )
 
     # 5. Re-assign ALL source points of quality supervoxels.

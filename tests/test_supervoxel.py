@@ -319,3 +319,45 @@ def test_supervoxel_matches_reference_oracle(rng):
     # 5 percentage points of each other.
     assert s_u < 0.1, f"ours straddles the crease: {s_u:.3f}"
     assert abs(s_u - s_o) < 0.05, f"oracle {s_o:.3f} vs ours {s_u:.3f}"
+
+
+def test_pair_segmentation_matches_sequential(rng):
+    """supervoxel_segmentation_pair: extra sweeps past a cloud's fixed
+    point are no-ops, so the batched result equals per-cloud calls."""
+    import jax.numpy as jnp
+
+    from fusion4landslide_tpu.ops.supervoxel import (
+        supervoxel_graph,
+        supervoxel_segmentation,
+        supervoxel_segmentation_pair,
+    )
+    from fusion4landslide_tpu.ops.normals import pca_normals
+
+    n = 600
+    a = rng.uniform(0, 8, size=(n, 3)).astype(np.float32)
+    b = rng.uniform(0, 8, size=(n, 3)).astype(np.float32)
+    va = np.arange(n) < 550
+    vb = np.ones(n, bool)
+    r = jnp.asarray(1.2, jnp.float32)
+    outs = []
+    for p, v in ((a, va), (b, vb)):
+        gi, gm = supervoxel_graph(jnp.asarray(p), r, jnp.asarray(v))
+        nr = pca_normals(jnp.asarray(p), 15, jnp.asarray(v),
+                         neigh_idx=gi, neigh_mask=gm)
+        seq = supervoxel_segmentation(
+            jnp.asarray(p), r, jnp.asarray(v),
+            neigh_idx=gi, neigh_mask=gm, normals=nr,
+        )
+        outs.append((gi, gm, nr, seq))
+    batched = supervoxel_segmentation_pair(
+        jnp.stack([a, b]), r, jnp.stack([va, vb]),
+        jnp.stack([outs[0][0], outs[1][0]]),
+        jnp.stack([outs[0][1], outs[1][1]]),
+        jnp.stack([outs[0][2], outs[1][2]]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batched.labels[0]), np.asarray(outs[0][3].labels)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batched.labels[1]), np.asarray(outs[1][3].labels)
+    )
