@@ -204,7 +204,12 @@ def supervoxel_segmentation_pair(
     propagation: the vmapped while_loop sweeps until the LAST cloud
     converges, so the stage costs max() instead of sum() of the clouds'
     sweep counts. Extra sweeps past a cloud's fixed point are no-ops, so
-    results equal the per-cloud calls exactly."""
+    results equal the per-cloud calls exactly.
+
+    NOTE: measured SLOWER than two sequential calls on TPU v5e (3.74 s vs
+    0.60 s at the 131k bucket) — the vmapped argsort/scatter seeding
+    dominates. Kept as a correct reference implementation; the device tile
+    step intentionally does not use it."""
     return jax.vmap(
         functools.partial(_supervoxel_core, num_sweeps=num_sweeps),
         in_axes=(0, None, 0, 0, 0, 0),

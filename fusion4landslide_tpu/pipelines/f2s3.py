@@ -67,22 +67,57 @@ def _dips_chunk_sampled(dips_params, qc, xc, vc, radius, *, precision,
 
 @functools.partial(jax.jit, static_argnames=("precision", "dtype"))
 def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision,
-                        dtype=None):
+                        dtype=None, n_valid=None):
     """All pre-sampled chunks in ONE dispatch (lax.map over the leading
     chunk axis). The caller buckets the point count, so the baked chunk
     count takes only a handful of values — one compile per bucket — while
     a host loop would pay a device-dispatch round trip per chunk (dozens
-    of tunnel round trips per tile)."""
+    of tunnel round trips per tile).
+
+    ``n_valid`` (traced ok): count of the VALID PREFIX of the flattened
+    query — chunks that start at or past it skip the LRF + network
+    entirely (lax.cond) and emit zeros. Bucket padding is 0-60% of the
+    rows, all network FLOPs."""
     from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
 
     model = PointNetFeature(precision=precision, dtype=dtype)
 
-    def one(args):
+    def compute(args):
         qc, xc, vc = args
         patches = lrf_patches_from_neighbors(qc, xc, vc, radius)
         return model.apply(dips_params, patches)
 
-    return jax.lax.map(one, (qs, xs, vs))
+    if n_valid is None:
+        return jax.lax.map(compute, (qs, xs, vs))
+
+    # Group the chunk axis into a handful of cond-gated lax.maps (one cond
+    # per GROUP, not per chunk — a per-chunk cond inside the nested tile
+    # maps blew XLA compile time up ~4x). Granularity: nc/4 chunks.
+    nc, chunk = qs.shape[0], qs.shape[1]
+    probe = jax.eval_shape(
+        compute,
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype),
+                     (qs, xs, vs)),
+    )
+    nv = jnp.asarray(n_valid, jnp.int32)
+    gsize = -(-nc // min(4, nc))
+    outs = []
+    start = 0
+    while start < nc:
+        end = min(nc, start + gsize)
+        sub = (qs[start:end], xs[start:end], vs[start:end])
+        outs.append(
+            jax.lax.cond(
+                jnp.int32(start * chunk) < nv,
+                lambda s: jax.lax.map(compute, s),
+                lambda s: jnp.zeros(
+                    (s[0].shape[0],) + probe.shape, probe.dtype
+                ),
+                sub,
+            )
+        )
+        start = end
+    return jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(
@@ -116,8 +151,15 @@ def compute_dips_features(
     model: PointNetFeature | None = None,
     precision: str = "default",
     dtype: str | None = None,
+    n_core: jax.Array | int | None = None,
 ) -> jax.Array:
     """(n, 64) DIPs descriptors for every core point.
+
+    ``n_core``: count of the valid prefix of ``core_pts`` when the caller
+    passes a padded cloud (device tile steps); rows past it get zero
+    descriptors without paying the network. Defaults to the input length
+    (host callers pass exact-size clouds, so bucket padding always
+    skips).
 
     Patches come from the halo cloud (f2s3.py:111-114 passes the overlap
     cloud as neighbourhood source). Work is chunked over query points with
@@ -178,6 +220,7 @@ def compute_dips_features(
         feats = _dips_chunks_mapped(
             dips_params, qs, xs, vs, radius_q,
             precision=precision, dtype=dtype,
+            n_valid=n if n_core is None else n_core,
         )
         return feats.reshape(-1, feats.shape[-1])[:n]
 

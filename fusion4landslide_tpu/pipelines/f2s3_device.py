@@ -72,8 +72,13 @@ def dips_features_device(
     sample_priority: str = "knn",
     precision: str = "default",
     dtype: str | None = None,
+    query_count: jax.Array | None = None,
 ) -> jax.Array:
     """(n, 64) DIPs descriptors, fully traceable (traced ``radius``).
+
+    ``query_count``: valid-prefix count of a padded ``query`` cloud —
+    trailing all-padding chunks skip the network (see
+    ``compute_dips_features``).
 
     Same math as ``pipelines.f2s3.compute_dips_features`` (reference
     src/f2s3.py:91-154 + src/data_loader.py:42-106). This replaces the
@@ -104,6 +109,7 @@ def dips_features_device(
             dips_params, query, support, radius, key,
             k_max=k_max, patch_points=patch_points, chunk=chunk,
             halo_mask=support_mask, precision=precision, dtype=dtype,
+            n_core=query_count,
         )
 
     model = PointNetFeature(precision=precision, dtype=dtype)
@@ -287,11 +293,15 @@ def f2s3_tile_step(
         precision=precision, dtype=feat_dtype,
         sample_cap=sample_cap, sample_priority=sample_priority,
     )
+    # Sharded tile batches pad at the end, so validity is a prefix and
+    # trailing padding chunks skip the descriptor network.
     src_feat = dips_features_device(
-        dips_params, src, src, smask, radius, k1, **feat_kw
+        dips_params, src, src, smask, radius, k1,
+        query_count=jnp.sum(smask), **feat_kw
     )
     tgt_feat = dips_features_device(
-        dips_params, tgt, tgt, tmask, radius, k2, **feat_kw
+        dips_params, tgt, tgt, tmask, radius, k2,
+        query_count=jnp.sum(tmask), **feat_kw
     )
 
     # 3. Supervoxel segmentation of the source (f2s3.py:183-189).

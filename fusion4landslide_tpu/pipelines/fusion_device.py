@@ -331,11 +331,15 @@ def fusion3d_tile_step(
         precision=precision, dtype=feat_dtype,
         sample_cap=sample_cap, sample_priority=sample_priority,
     )
+    # Voxel clouds are prefix-compacted: descriptors past n_vox skip the
+    # network (20-60% of the bucket rows at production tile sizes).
     src_feat = dips_features_device(
-        dips_params, s_cent, src, smask, radius, k_s, **feat_kw
+        dips_params, s_cent, src, smask, radius, k_s,
+        query_count=s_nv, **feat_kw
     )
     tgt_feat = dips_features_device(
-        dips_params, t_cent, tgt, tmask, radius, k_t, **feat_kw
+        dips_params, t_cent, tgt, tmask, radius, k_t,
+        query_count=t_nv, **feat_kw
     )
 
     # 3. Global 3D voxel matches (base:2756-2889).
@@ -426,30 +430,21 @@ def fusion3d_tile_step(
                 -1,
             )
         elif li == 0 or not nested_levels:
-            if s_cent.shape == t_cent.shape:
-                # Both clouds in ONE batched propagation loop: sweeps cost
-                # max() instead of sum() of the two convergence counts.
-                from fusion4landslide_tpu.ops.supervoxel import (
-                    supervoxel_segmentation_pair,
-                )
-
-                segs = supervoxel_segmentation_pair(
-                    jnp.stack([s_cent, t_cent]), svl_radius,
-                    jnp.stack([vvalid_s, vvalid_t]),
-                    jnp.stack([gi_s, gi_t]), jnp.stack([gm_s, gm_t]),
-                    jnp.stack([nrm_s, nrm_t]),
-                )
-                raw_s, raw_t = segs.labels[0], segs.labels[1]
-            else:
-                seg_s = supervoxel_segmentation(
-                    s_cent, svl_radius, vvalid_s,
-                    neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,
-                )
-                seg_t = supervoxel_segmentation(
-                    t_cent, svl_radius, vvalid_t,
-                    neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t,
-                )
-                raw_s, raw_t = seg_s.labels, seg_t.labels
+            # Measured dead end (v5e, 131k bucket): batching src+tgt into
+            # one vmapped propagation (ops.supervoxel.
+            # supervoxel_segmentation_pair) pays max() instead of sum() of
+            # sweep counts in theory, but the vmapped argsort/scatter
+            # seeding lowers ~6x slower (3.74 s vs 0.60 s) — keep the two
+            # sequential calls.
+            seg_s = supervoxel_segmentation(
+                s_cent, svl_radius, vvalid_s,
+                neigh_idx=gi_s, neigh_mask=gm_s, normals=nrm_s,
+            )
+            seg_t = supervoxel_segmentation(
+                t_cent, svl_radius, vvalid_t,
+                neigh_idx=gi_t, neigh_mask=gm_t, normals=nrm_t,
+            )
+            raw_s, raw_t = seg_s.labels, seg_t.labels
         else:
             raw_s = _segment_centroids(
                 s_cent, lab_s_prev, sv_caps[li - 1], n_s_prev,
