@@ -263,29 +263,29 @@ def _supervoxel_core(
         order[::-1].astype(jnp.int32)
     )
 
-    seed_pos = jnp.take(points, seed_of_cell, axis=0)  # (n, 3) padded
-    seed_nrm = jnp.take(normals, seed_of_cell, axis=0)
+    # Pack each seed's (position, normal) into one row so every sweep pays
+    # ONE row gather per candidate instead of two — the sweeps are
+    # gather-bound (bit-exact: same f32 values, different layout).
+    seed_pn = jnp.concatenate(
+        [
+            jnp.take(points, seed_of_cell, axis=0),
+            jnp.take(normals, seed_of_cell, axis=0),
+        ],
+        axis=1,
+    )  # (n, 6) padded
 
     # --- Initial labels: VCCS-nearest seed among {own cell, neighbours' cells}
     # is reached by propagation itself; start from own cell.
     labels = p2cell.astype(jnp.int32)
     labels = jnp.where(valid, labels, n - 1)
 
-    def cost_to(label, pi_pos, pi_nrm):
-        return _vccs(
-            pi_pos,
-            pi_nrm,
-            jnp.take(seed_pos, label, axis=0),
-            jnp.take(seed_nrm, label, axis=0),
-            resolution,
-        )
-
     def sweep(labels):
         # Candidate labels: own + each neighbour's current label.
         neigh_labels = jnp.take(labels, neigh_idx, axis=0)  # (n, k)
         cand = jnp.concatenate([labels[:, None], neigh_labels], axis=1)
-        cand_seed_pos = jnp.take(seed_pos, cand, axis=0)  # (n, k+1, 3)
-        cand_seed_nrm = jnp.take(seed_nrm, cand, axis=0)
+        cand_pn = jnp.take(seed_pn, cand, axis=0)  # (n, k+1, 6)
+        cand_seed_pos = cand_pn[..., :3]
+        cand_seed_nrm = cand_pn[..., 3:]
         cost = _vccs(
             points[:, None, :],
             normals[:, None, :],

@@ -113,12 +113,12 @@ def main() -> None:
     )
     src_feat = timeit(
         "dips_features (src)",
-        lambda *a: dips_features_device(*a, **feat_kw),
+        lambda *a: dips_features_device(*a, query_count=s_nv, **feat_kw),
         dips_params, s_cent, src, mask, radius, key,
     )
     tgt_feat = timeit(
         "dips_features (tgt)",
-        lambda *a: dips_features_device(*a, **feat_kw),
+        lambda *a: dips_features_device(*a, query_count=t_nv, **feat_kw),
         dips_params, t_cent, tgt, mask, radius, key,
     )
 
