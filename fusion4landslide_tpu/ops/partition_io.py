@@ -26,6 +26,7 @@ __all__ = [
     "read_supervoxel_txt",
     "write_superpoint_partition",
     "read_superpoint_partition",
+    "load_or_generate_partition_labels",
 ]
 
 
@@ -94,3 +95,68 @@ def read_superpoint_partition(path: str, level: int) -> tuple[np.ndarray, np.nda
             f"needs column {col}"
         )
     return data[:, :3], data[:, col].astype(np.int64)
+
+
+def load_or_generate_partition_labels(
+    out_root: str,
+    partition_type: str,
+    tile_id,
+    which: str,
+    points: np.ndarray,
+    levels,
+    logger=None,
+) -> list[np.ndarray]:
+    """Per-point labels for each requested partition level of one tile
+    cloud, from the reference 15-column artifact
+    (``{partition_type}_partition/partition_of_input_{which}_tile_N.txt``).
+
+    Single source of truth for both the host tile loop
+    (``pipelines.fusion``) and the sharded runner (``parallel.pipeline``),
+    so mesh on/off always read/generate identical partition files. When
+    the artifact is absent, the native superpoint hierarchy is generated
+    (``ops.superpoint``), the 3-level table is written for resume, and the
+    freshly computed labels are returned directly; when present, the table
+    is parsed ONCE and every requested level sliced from it (the artifact
+    format carries exactly 3 levels — ``base:1261-1276`` — so levels
+    outside 1..3 are rejected up front)."""
+    import os
+    import os.path as osp
+
+    lv = [int(level) for level in levels]
+    bad = [level for level in lv if not 1 <= level <= 3]
+    if bad:
+        raise ValueError(
+            f"partition levels {bad} out of range: the superpoint artifact "
+            "format carries exactly 3 levels (15 columns, base:1261-1276)"
+        )
+    path = osp.join(
+        out_root,
+        f"{partition_type}_partition",
+        f"partition_of_input_{which}_tile_{tile_id}.txt",
+    )
+    if not osp.exists(path):
+        from fusion4landslide_tpu.ops.superpoint import (
+            generate_superpoint_partition,
+        )
+
+        if logger:
+            logger.info(
+                "partition_type=%s: generating native partition for "
+                "tile %s (%s)", partition_type, tile_id, which,
+            )
+        os.makedirs(osp.dirname(path), exist_ok=True)
+        labs = generate_superpoint_partition(
+            np.asarray(points), path, levels=3
+        )
+        return [np.asarray(labs[level - 1]).astype(np.int64) for level in lv]
+    data = np.loadtxt(path, ndmin=2)
+    out = []
+    for level in lv:
+        col = 2 + 4 * level
+        if col >= data.shape[1]:
+            raise ValueError(
+                f"partition file has {data.shape[1]} columns; level "
+                f"{level} needs column {col}"
+            )
+        out.append(data[:, col].astype(np.int64))
+    return out

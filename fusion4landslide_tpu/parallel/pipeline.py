@@ -372,35 +372,19 @@ def run_fusion3d_tiles_sharded(
 
     def _tile_partition_labels(tile_id, pts, which, size):
         """(L, size) per-point labels from the tile's partition artifact
-        (generated natively when absent — the host path's exact files,
-        so mesh on/off share one partition source)."""
+        (generated natively when absent — shares
+        ``load_or_generate_partition_labels`` with the host tile loop, so
+        mesh on/off use one partition source; the file is parsed once)."""
         from fusion4landslide_tpu.ops.partition_io import (
-            read_superpoint_partition,
+            load_or_generate_partition_labels,
         )
 
-        path = osp.join(
-            out_root, f"{partition_type}_partition",
-            f"partition_of_input_{which}_tile_{tile_id}.txt",
+        labs = load_or_generate_partition_labels(
+            out_root, partition_type, tile_id, which, pts, levels,
+            logger=logger,
         )
-        if not osp.exists(path):
-            from fusion4landslide_tpu.ops.superpoint import (
-                generate_superpoint_partition,
-            )
-
-            if logger:
-                logger.info(
-                    "partition_type=superpoint: generating native "
-                    "partition for tile %s (%s)", tile_id, which,
-                )
-            os.makedirs(osp.dirname(path), exist_ok=True)
-            # Always write the full 3-level artifact (host-path parity,
-            # pipelines/fusion.py) so either path can resume from it.
-            generate_superpoint_partition(
-                pts, path, levels=max(3, *(int(lv) for lv in levels))
-            )
         lab = np.full((len(levels), size), -1, np.int32)
-        for li, lv in enumerate(levels):
-            _, pl = read_superpoint_partition(path, int(lv))
+        for li, pl in enumerate(labs):
             lab[li, : pl.shape[0]] = pl.astype(np.int32)
         return lab
 

@@ -51,6 +51,13 @@ def ensure_tiles(cfg: Config, logger) -> None:
     (artifact-level resume, main_piecewise_icp.py:60-75)."""
     from fusion4landslide_tpu.tiling import tile_point_clouds
 
+    os.makedirs(cfg["tile_dir"], exist_ok=True)
+    if any(os.listdir(cfg["tile_dir"])):
+        # Resume takes precedence over the tiling_type guard below: a run
+        # with pre-generated (or externally provided) tiles never tiles,
+        # whatever tiling_type says.
+        logger.info("Skip tiling; tiles loaded from %s", cfg["tile_dir"])
+        return
     tiling_type = str(cfg.get("tiling_type", "xy_tiling"))
     if tiling_type != "xy_tiling":
         # The reference dispatches on tiling_type but its hv_tiling /
@@ -60,10 +67,6 @@ def ensure_tiles(cfg: Config, logger) -> None:
             f"tiling_type={tiling_type!r} is not implemented (the reference "
             "only ships xy_tiling, src/functions.py:147-173)"
         )
-    os.makedirs(cfg.tile_dir, exist_ok=True)
-    if any(os.listdir(cfg.tile_dir)):
-        logger.info("Skip tiling; tiles loaded from %s", cfg.tile_dir)
-        return
     data_dir = cfg.get("input_root") or cfg.get("data_dir")
     src_name = cfg.get("src_pcd") or cfg.get("src_name")
     tgt_name = cfg.get("tgt_pcd") or cfg.get("tgt_name")

@@ -74,10 +74,11 @@ def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision,
     a host loop would pay a device-dispatch round trip per chunk (dozens
     of tunnel round trips per tile).
 
-    ``n_valid`` (traced ok): count of the VALID PREFIX of the flattened
-    query — chunks that start at or past it skip the LRF + network
-    entirely (lax.cond) and emit zeros. Bucket padding is 0-60% of the
-    rows, all network FLOPs."""
+    ``n_valid`` (traced ok): exclusive upper bound on the valid row
+    indices of the flattened query (every valid row must lie BEFORE it) —
+    chunks that start at or past it skip the LRF + network entirely
+    (lax.cond) and emit zeros. Bucket padding is 0-60% of the rows, all
+    network FLOPs."""
     from fusion4landslide_tpu.ops.lrf import lrf_patches_from_neighbors
 
     model = PointNetFeature(precision=precision, dtype=dtype)
@@ -155,11 +156,11 @@ def compute_dips_features(
 ) -> jax.Array:
     """(n, 64) DIPs descriptors for every core point.
 
-    ``n_core``: count of the valid prefix of ``core_pts`` when the caller
-    passes a padded cloud (device tile steps); rows past it get zero
-    descriptors without paying the network. Defaults to the input length
-    (host callers pass exact-size clouds, so bucket padding always
-    skips).
+    ``n_core``: exclusive upper bound on the valid row indices of
+    ``core_pts`` when the caller passes a padded cloud (device tile
+    steps); rows at or past it get zero descriptors without paying the
+    network. Defaults to the input length (host callers pass exact-size
+    clouds, so bucket padding always skips).
 
     Patches come from the halo cloud (f2s3.py:111-114 passes the overlap
     cloud as neighbourhood source). Work is chunked over query points with

@@ -76,9 +76,10 @@ def dips_features_device(
 ) -> jax.Array:
     """(n, 64) DIPs descriptors, fully traceable (traced ``radius``).
 
-    ``query_count``: valid-prefix count of a padded ``query`` cloud —
-    trailing all-padding chunks skip the network (see
-    ``compute_dips_features``).
+    ``query_count``: exclusive upper bound on the valid row indices of a
+    padded ``query`` cloud (last valid index + 1 — NOT the mask sum, which
+    undercounts when the mask has interior holes); chunks at or past it
+    are all-padding and skip the network (see ``compute_dips_features``).
 
     Same math as ``pipelines.f2s3.compute_dips_features`` (reference
     src/f2s3.py:91-154 + src/data_loader.py:42-106). This replaces the
@@ -116,6 +117,17 @@ def dips_features_device(
     n = query.shape[0]
     m = support.shape[0]
     chunk = min(chunk, n)
+
+    def _zero_past_bound(feats):
+        # Backend-identical ``query_count`` semantics: the TPU branch above
+        # SKIPS all-padding chunks (zero descriptors); the XLA grid
+        # branches compute everything in one map (cond-gating here only
+        # bloats the already-slow CPU-mesh compile), so zero the same rows
+        # after the fact.
+        if query_count is None:
+            return feats
+        keep = jnp.arange(feats.shape[0]) < query_count
+        return jnp.where(keep[:, None], feats, jnp.zeros((), feats.dtype))
     pad = (-n) % chunk
     q = jnp.pad(query, ((0, pad), (0, 0)))
     n_chunks = q.shape[0] // chunk
@@ -153,7 +165,7 @@ def dips_features_device(
             return model.apply(dips_params, patches)
 
         feats = jax.lax.map(one_rand, q.reshape(n_chunks, chunk, 3))
-        return feats.reshape(-1, feats.shape[-1])[:n]
+        return _zero_past_bound(feats.reshape(-1, feats.shape[-1])[:n])
 
     # 'knn': exact nearest-k_max within the radius, one growing-grid search
     # over ALL queries (the (n, k_max) neighbour table lives in HBM once),
@@ -180,7 +192,7 @@ def dips_features_device(
             keys,
         ),
     )
-    return feats.reshape(-1, feats.shape[-1])[:n]
+    return _zero_past_bound(feats.reshape(-1, feats.shape[-1])[:n])
 
 
 def drop_small_and_compact(
@@ -293,15 +305,19 @@ def f2s3_tile_step(
         precision=precision, dtype=feat_dtype,
         sample_cap=sample_cap, sample_priority=sample_priority,
     )
-    # Sharded tile batches pad at the end, so validity is a prefix and
-    # trailing padding chunks skip the descriptor network.
+    # Chunks past the LAST valid row skip the descriptor network. Using
+    # last-valid-index+1 (not sum) keeps this correct for masks with
+    # interior holes; for the sharded batches' end-padded masks the two
+    # coincide and every all-padding chunk is skipped.
+    idx_s = jnp.arange(src.shape[0], dtype=jnp.int32)
+    idx_t = jnp.arange(tgt.shape[0], dtype=jnp.int32)
     src_feat = dips_features_device(
         dips_params, src, src, smask, radius, k1,
-        query_count=jnp.sum(smask), **feat_kw
+        query_count=jnp.max(jnp.where(smask, idx_s + 1, 0)), **feat_kw
     )
     tgt_feat = dips_features_device(
         dips_params, tgt, tgt, tmask, radius, k2,
-        query_count=jnp.sum(tmask), **feat_kw
+        query_count=jnp.max(jnp.where(tmask, idx_t + 1, 0)), **feat_kw
     )
 
     # 3. Supervoxel segmentation of the source (f2s3.py:183-189).

@@ -285,10 +285,12 @@ def fine_match_pairs(
     0.01 is not replicated).
 
     ``iso_cap`` bounds the quadratic isometry gate: its mean / inlier-ratio
-    statistics are computed over the first ``iso_cap`` matched
-    correspondences (the gate is a robust statistic — at the production
-    cap of 128 the estimate is within a few percent of the full
-    O(F^2) computation, measured ~25% of the whole fine stage).
+    statistics are computed over ``iso_cap`` matches sampled with an even
+    stride across the matched correspondences — spatially representative,
+    since the compacted order is voxel/grid-cell order (the gate is a
+    robust statistic — at the production cap of 128 the estimate is within
+    a few percent of the full O(F^2) computation, measured ~25% of the
+    whole fine stage).
     """
     Pairs, P = src_members.shape
     fusion2 = corres2_tgt_idx is not None
@@ -341,11 +343,26 @@ def fine_match_pairs(
 
         # Isometry quality gate (base:3310-3323): mean and inlier ratio of
         # |pairwise-dist(src) - pairwise-dist(tgt)| over matched pairs,
-        # estimated on the first ``iso_cap`` matches (see docstring).
+        # estimated on ``iso_cap`` matches sampled with an even stride
+        # across the matched set (see docstring). The compacted order is
+        # voxel-index order = grid-cell order, i.e. spatial order — taking
+        # the FIRST iso_cap would evaluate the gate on one spatially
+        # clustered corner of the patch and pass patches that are rigid
+        # there but deforming elsewhere; the stride spreads the sample
+        # over the whole patch at identical cost.
         Fi = min(F, int(iso_cap))
-        s_i = src_m[:Fi]
-        t_i = tgt_m[:Fi]
-        m_i = mv[:Fi]
+        n_comp = jnp.minimum(n_match, F)  # matched prefix length
+        ar = jnp.arange(Fi, dtype=jnp.int32)
+        pos = jnp.where(
+            n_comp > Fi,
+            (ar.astype(jnp.float32)
+             * (n_comp.astype(jnp.float32) / Fi)).astype(jnp.int32),
+            ar,
+        )
+        pos = jnp.clip(pos, 0, F - 1)
+        s_i = jnp.take(src_m, pos, axis=0)
+        t_i = jnp.take(tgt_m, pos, axis=0)
+        m_i = jnp.take(mv, pos)
 
         def pd2(x):
             out = None
@@ -933,39 +950,24 @@ def _fusion_tile_core(
     # the 15-column format — base:1241-1276): labels are defined on the tile
     # points and transferred to voxels via each voxel's first member point.
     partition_type = str(cfg.get("partition_type", "supervoxel"))
-    spt_src_path = osp.join(
-        out_root, f"{partition_type}_partition",
-        f"partition_of_input_src_tile_{tile_id}.txt",
-    )
-    spt_tgt_path = osp.join(
-        out_root, f"{partition_type}_partition",
-        f"partition_of_input_tgt_tile_{tile_id}.txt",
-    )
-    use_spt_files = (
-        partition_type == "superpoint"
-        and osp.exists(spt_src_path)
-        and osp.exists(spt_tgt_path)
-    )
-    if partition_type == "superpoint" and not use_spt_files:
-        # Generate the partition natively (geometric-feature hierarchy,
-        # ops/superpoint.py — the SPT bridge's role,
-        # src/superpoint_partition.py:37-162) and persist the reference
-        # 15-column artifact for resume/inspection.
-        if logger:
-            logger.info(
-                "partition_type=superpoint: generating native partition "
-                "hierarchy for tile %s", tile_id,
-            )
-        from fusion4landslide_tpu.ops.superpoint import (
-            generate_superpoint_partition,
+    use_spt_files = partition_type == "superpoint"
+    if use_spt_files:
+        # Native geometric-feature hierarchy generated when the artifact is
+        # absent (the SPT bridge's role, src/superpoint_partition.py:37-162)
+        # — one shared loader with the sharded runner, one file parse for
+        # all levels.
+        from fusion4landslide_tpu.ops.partition_io import (
+            load_or_generate_partition_labels,
         )
 
-        os.makedirs(osp.dirname(spt_src_path), exist_ok=True)
-        generate_superpoint_partition(src_core, spt_src_path, levels=3)
-        generate_superpoint_partition(tgt_core, spt_tgt_path, levels=3)
-        use_spt_files = True
-    if use_spt_files:
-        from fusion4landslide_tpu.ops.partition_io import read_superpoint_partition
+        pt_labs_s = load_or_generate_partition_labels(
+            out_root, partition_type, tile_id, "src", src_core, levels,
+            logger=logger,
+        )
+        pt_labs_t = load_or_generate_partition_labels(
+            out_root, partition_type, tile_id, "tgt", tgt_core, levels,
+            logger=logger,
+        )
 
         # Representative (first) point per voxel carries its labels.
         first_pt_of_vox_s = np.zeros(s_nv, np.int64)
@@ -1006,10 +1008,8 @@ def _fusion_tile_core(
         _log(f"tile {tile_id}: stage partition level {level}")
         with timer.stage(f"partition_l{level}"):
             if use_spt_files:
-                _, pt_lab_s = read_superpoint_partition(spt_src_path, int(level))
-                _, pt_lab_t = read_superpoint_partition(spt_tgt_path, int(level))
-                raw_s = pt_lab_s[first_pt_of_vox_s]
-                raw_t = pt_lab_t[first_pt_of_vox_t]
+                raw_s = pt_labs_s[li][first_pt_of_vox_s]
+                raw_t = pt_labs_t[li][first_pt_of_vox_t]
             else:
                 svl_radius = base_svl_radius * (2.0 ** (int(level) - 1))
                 seg_s = _segment("src", src_vox, svl_radius)

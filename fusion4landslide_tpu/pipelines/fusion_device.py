@@ -394,16 +394,22 @@ def fusion3d_tile_step(
     t2s_valid = jnp.zeros((M,), bool)
     n_dropped = jnp.zeros((), jnp.int32)
 
-    # Per-level superpoint caps: each level doubles the radius, so the
-    # superpoint count drops ~4x per level — sizing every level's member
-    # tables, aggregation, coarse matcher, and fine solver at the level-1
-    # cap wasted ~2x of the whole tile step. Overflow past a cap is
-    # counted in ``n_dropped`` exactly as before.
+    # Per-level superpoint caps: each VCCS level doubles the radius, so
+    # the supervoxel count drops ~4x per level — sizing every level's
+    # member tables, aggregation, coarse matcher, and fine solver at the
+    # level-1 cap wasted ~2x of the whole tile step. Overflow past a cap
+    # is counted in ``n_dropped`` exactly as before. Externally supplied
+    # partition labels carry NO such coarsening guarantee, so they keep
+    # the flat cap at every level (pass an explicit tuple to size levels
+    # from known label counts).
     if isinstance(sv_cap, int):
-        floor = min(256, sv_cap)
-        sv_caps = tuple(
-            max(sv_cap >> (2 * li), floor) for li in range(len(levels))
-        )
+        if use_partition_inputs:
+            sv_caps = (sv_cap,) * len(levels)
+        else:
+            floor = min(256, sv_cap)
+            sv_caps = tuple(
+                max(sv_cap >> (2 * li), floor) for li in range(len(levels))
+            )
     else:
         sv_caps = tuple(sv_cap)
 

@@ -143,3 +143,40 @@ def test_run_f2s3_tile_end_to_end(dips, filt, tmp_path, rng):
     kept_stable = kept_src[:, 0] < 5.0
     if kept_moving.sum() > 20 and kept_stable.sum() > 20:
         assert np.median(mags[kept_moving]) > np.median(mags[kept_stable])
+
+
+def test_dips_padding_skip_interior_hole_mask(rng):
+    """The network-skip gate uses last-valid-index+1, so masks with
+    interior holes keep bitwise-identical descriptors for every valid row
+    (a mask-sum gate would zero valid rows past the sum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fusion4landslide_tpu.models.dips import PointNetFeature
+    from fusion4landslide_tpu.pipelines.f2s3_device import (
+        dips_features_device,
+    )
+
+    n = 64
+    pts = rng.uniform(0, 3, size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[8:24] = False  # interior hole: sum(mask)=44 < last valid row 47
+    mask[48:] = False
+    params = PointNetFeature().init(
+        jax.random.PRNGKey(0), np.zeros((2, 16, 3), np.float32)
+    )
+    kw = dict(k_max=16, patch_points=16, chunk=16)
+    radius = jnp.asarray(1.0, jnp.float32)
+    key = jax.random.PRNGKey(1)
+    qc = jnp.max(jnp.where(jnp.asarray(mask), jnp.arange(n) + 1, 0))
+    assert int(qc) == 48 and int(np.sum(mask)) < int(qc)
+    gated = np.asarray(
+        dips_features_device(
+            params, pts, pts, mask, radius, key, query_count=qc, **kw
+        )
+    )
+    full = np.asarray(
+        dips_features_device(params, pts, pts, mask, radius, key, **kw)
+    )
+    np.testing.assert_array_equal(gated[:48], full[:48])
+    assert np.all(gated[48:] == 0)

@@ -278,3 +278,36 @@ def test_quality_gate_disabled_passes_non_isometric_patch(rng):
     )
     assert not np.asarray(gated.valid)[0]
     assert np.asarray(open_.valid)[0]
+
+
+def test_iso_gate_samples_across_whole_patch(rng):
+    """A patch that is rigid only in its low-index (spatially clustered)
+    corner must FAIL the isometry gate even when iso_cap is far below the
+    match count: the gate samples with an even stride across the matched
+    set, not the first iso_cap indices (which would all land in the rigid
+    corner — compaction preserves voxel/grid-cell = spatial order)."""
+    P = 256
+    vox_s = rng.uniform(0, 4, size=(P, 3)).astype(np.float32)
+    shift = np.array([0.2, -0.1, 0.05], np.float32)
+    # Members 0..63 map rigidly; 64.. map to unrelated random targets.
+    vox_t = np.vstack(
+        [vox_s[:64] + shift, rng.uniform(0, 4, (P - 64, 3))]
+    ).astype(np.float32)
+    lab_t = np.zeros(P, np.int32)
+    corres = np.arange(P).astype(np.int32)
+    members = np.arange(P)[None].astype(np.int32)
+    res = fine_match_pairs(
+        members,
+        np.ones((1, P), bool),
+        np.array([0], np.int32),
+        corres,
+        np.ones(P, bool),
+        lab_t,
+        vox_s,
+        vox_t,
+        icp_threshold=0.3,
+        num_min_fine=10,
+        iso_cap=32,
+        fine_max_matches=P,
+    )
+    assert not np.asarray(res.valid)[0]

@@ -42,3 +42,35 @@ def test_superpoint_level_padding(tmp_path, rng):
     for level in (1, 2, 3):
         _, lab = read_superpoint_partition(str(p), level)
         np.testing.assert_array_equal(lab, l1)
+
+
+def test_load_or_generate_partition_labels(tmp_path, rng):
+    """Shared host/sharded loader: generates + writes the 3-level artifact
+    once, re-reads consistently with one parse, rejects levels > 3."""
+    import os.path as osp
+
+    import pytest
+
+    from fusion4landslide_tpu.ops.partition_io import (
+        load_or_generate_partition_labels,
+    )
+
+    pts = rng.uniform(0, 5, size=(300, 3)).astype(np.float32)
+    labs = load_or_generate_partition_labels(
+        str(tmp_path), "superpoint", 0, "src", pts, [1, 2]
+    )
+    path = osp.join(
+        str(tmp_path), "superpoint_partition",
+        "partition_of_input_src_tile_0.txt",
+    )
+    assert osp.exists(path)
+    assert len(labs) == 2 and all(lab.shape == (300,) for lab in labs)
+    labs2 = load_or_generate_partition_labels(
+        str(tmp_path), "superpoint", 0, "src", pts, [1, 2]
+    )
+    for a, b in zip(labs, labs2):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="3 levels"):
+        load_or_generate_partition_labels(
+            str(tmp_path), "superpoint", 0, "src", pts, [1, 4]
+        )

@@ -90,3 +90,17 @@ def test_unknown_tiling_type_raises(tmp_path):
     cfg = {"tiling_type": "hv_tiling", "tile_dir": str(tmp_path / "t")}
     with pytest.raises(ValueError, match="hv_tiling"):
         ensure_tiles(cfg, logging.getLogger("t"))
+
+
+def test_resume_takes_precedence_over_tiling_type_guard(tmp_path):
+    """Pre-generated tiles resume BEFORE the tiling_type guard: a config
+    carrying an unimplemented tiling_type but shipping its tiles must run
+    (artifact-level resume, main_piecewise_icp.py:60-75)."""
+    import logging
+
+    from fusion4landslide_tpu.pipelines.driver import ensure_tiles
+
+    td = tmp_path / "tiles"
+    (td / "non_overlap").mkdir(parents=True)
+    cfg = {"tiling_type": "hv_tiling", "tile_dir": str(td)}
+    ensure_tiles(cfg, logging.getLogger("t"))  # must not raise
