@@ -253,9 +253,15 @@ def run_f2s3_tiles_sharded(
 
 
 def make_sharded_fusion3d_step(
-    mesh, dips_params, agg_params, *, with_partition_inputs=False, **statics
+    mesh,
+    dips_params,
+    agg_params,
+    *,
+    with_partition_inputs=False,
+    with_image_inputs=False,
+    **statics,
 ):
-    """Jitted multi-tile fusion_3d step over ``mesh``.
+    """Jitted multi-tile fusion step over ``mesh``.
 
     Returns ``step(src (T,N,3), smask (T,N), tgt (T,M,3), tmask (T,M),
     keys (T,2), max_magnitude (T,), icp_threshold (T,), voxel_size_init
@@ -266,13 +272,41 @@ def make_sharded_fusion3d_step(
     arrays ``sp_lab_src (T, L, N)`` / ``sp_lab_tgt (T, L, M)`` — per-POINT
     partition labels per level (reference ``partition_type: superpoint``) —
     and skips the on-device supervoxel segmentation.
+
+    With ``with_image_inputs=True`` (pass ``image_size`` in ``statics``)
+    the step additionally takes the RGB 2D-match channel inputs —
+    ``pix_matches (T, IP, Pc, 4)``, ``pix_count (T, IP)``, ``intrinsic
+    (T, 3, 3)``, ``src_extrinsics (T, IP, 4, 4)``, ``tgt_extrinsics
+    (T, IP, 4, 4)``, ``center (T, 3)``, ``pixel_thres (T,)`` — and runs
+    the full RGB+3D fusion method (use_2d_matches=True) on device; image
+    inputs follow the partition inputs when both are enabled.
     """
     per_tile = functools.partial(fusion3d_tile_step, **statics)
     n_in = 14 if with_partition_inputs else 12
+    if with_image_inputs:
+        n_in += 7
 
     def local(*args):
+        if with_partition_inputs or not with_image_inputs:
+            return jax.lax.map(
+                lambda a: per_tile(dips_params, agg_params, *a),
+                args,
+            )
+        # Image inputs without partition inputs: slot them into their
+        # keyword positions (sp_lab_* stay None).
         return jax.lax.map(
-            lambda a: per_tile(dips_params, agg_params, *a),
+            lambda a: per_tile(
+                dips_params,
+                agg_params,
+                *a[:12],
+                pix_matches=a[12],
+                pix_count=a[13],
+                intrinsic=a[14],
+                src_extrinsics=a[15],
+                tgt_extrinsics=a[16],
+                center=a[17],
+                pixel_thres=a[18],
+            ),
             args,
         )
 
@@ -297,11 +331,22 @@ def run_fusion3d_tiles_sharded(
     mesh=None,
     n_bucket: int | None = None,
     m_bucket: int | None = None,
+    image_kit_fn=None,
+    pix_cap: int | None = None,
+    n_image_pairs: int = 1,
 ) -> dict:
-    """Process a fusion_3d epoch pair's tiles data-parallel over the mesh.
+    """Process a fusion epoch pair's tiles data-parallel over the mesh.
 
     Args:
         tiles: list of (tile_id, src_points (n,3), tgt_points (m,3)).
+        image_kit_fn: enables the full RGB+3D fusion method
+            (use_2d_matches=True) — called per tile as
+            ``image_kit_fn(tile_id, src_points, tgt_points)`` and must
+            return a dict with ``pix`` (list of (P_j, 4) pixel-match
+            arrays, one per src×tgt image pair), ``intrinsic`` (3, 3), and
+            ``src_extrinsics``/``tgt_extrinsics`` (lists of (4, 4),
+            aligned with ``pix``). Requires ``pix_cap`` (static pixel-row
+            bucket) and ``n_image_pairs`` (static IP).
 
     Writes the same ``c2f_*`` result tables as the serial
     ``pipelines.fusion.run_fusion3d_tile`` path.
@@ -364,9 +409,41 @@ def run_fusion3d_tiles_sharded(
         == "assign_then_nn",
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),
     )
+    with_image = image_kit_fn is not None
+    if with_image:
+        if pix_cap is None:
+            raise ValueError("image_kit_fn requires pix_cap")
+        if str(cfg.get("lifting_type", "nn_search")) == "interpolation":
+            raise ValueError(
+                "lifting_type=interpolation (depth-map lifting) is "
+                "host-path only; use the serial tile loop "
+                "(use_mesh: false) or lifting_type: nn_search"
+            )
+        mode_2d = str(cfg.get("matches_from_2d_type", "nn_src_only"))
+        if mode_2d == "nn_src_with_tgt_for_visualize":
+            mode_2d = "nn_src_only"
+        coarse_2d = (
+            "only_2d"
+            if bool(cfg.get("coarse_matching_only_2d", False))
+            else ("fusion" if bool(cfg.get("coarse_matching_fusion", True)) else "off")
+        )
+        fine_2d = (
+            "only_2d"
+            if bool(cfg.get("fine_matching_only_2d", False))
+            else ("fusion" if bool(cfg.get("fine_matching_fusion", True)) else "off")
+        )
+        statics.update(
+            image_size=tuple(int(v) for v in cfg["image_size"]),
+            v_flip=str(cfg.get("dataset", "")).lower() != "rockfall_simulator",
+            matches_2d_mode=mode_2d,
+            coarse_2d_mode=coarse_2d,
+            fine_2d_mode=fine_2d,
+            weighting_svd=bool(cfg.get("weighting_svd", False)),
+        )
     step = make_sharded_fusion3d_step(
         mesh, dips_params, agg_params,
-        with_partition_inputs=use_partition_inputs, **statics,
+        with_partition_inputs=use_partition_inputs,
+        with_image_inputs=with_image, **statics,
     )
     levels = statics["levels"]
 
@@ -388,7 +465,11 @@ def run_fusion3d_tiles_sharded(
             lab[li, : pl.shape[0]] = pl.astype(np.int32)
         return lab
 
-    if bool(cfg.get("prewarm", False)) and not use_partition_inputs:
+    if (
+        bool(cfg.get("prewarm", False))
+        and not use_partition_inputs
+        and not with_image
+    ):
         # Compile the whole bucket program (incl. Mosaic kernels) on an
         # empty batch in the background while tile IO streams; the first
         # real dispatch blocks on the same executable, so compute never
@@ -457,6 +538,43 @@ def run_fusion3d_tiles_sharded(
                 sp_s[i] = _tile_partition_labels(tile_id, src, "src", N)
                 sp_t[i] = _tile_partition_labels(tile_id, tgt, "tgt", M)
             args = args + (jnp.asarray(sp_s), jnp.asarray(sp_t))
+        if with_image:
+            IP, Pc = n_image_pairs, pix_cap
+            pixb = np.zeros((T, IP, Pc, 4), np.float32)
+            cntb = np.zeros((T, IP), np.int32)
+            Kb = np.zeros((T, 3, 3), np.float32)
+            seb = np.tile(np.eye(4, dtype=np.float32), (T, IP, 1, 1))
+            teb = np.tile(np.eye(4, dtype=np.float32), (T, IP, 1, 1))
+            for i in range(T):
+                tile_id, src, tgt = batch[min(i, len(batch) - 1)]
+                kit = image_kit_fn(tile_id, src, tgt)
+                Kb[i] = np.asarray(kit["intrinsic"], np.float32)
+                for j, p in enumerate(kit["pix"][:IP]):
+                    p = np.asarray(p, np.float32).reshape(-1, 4)
+                    c = min(p.shape[0], Pc)
+                    if p.shape[0] > Pc and logger:
+                        logger.warning(
+                            "tile %s image pair %d: %d pixel matches "
+                            "exceed pix_cap=%d; truncating",
+                            tile_id, j, p.shape[0], Pc,
+                        )
+                    pixb[i, j, :c] = p[:c]
+                    cntb[i, j] = c
+                    seb[i, j] = np.asarray(
+                        kit["src_extrinsics"][j], np.float32
+                    )
+                    teb[i, j] = np.asarray(
+                        kit["tgt_extrinsics"][j], np.float32
+                    )
+            args = args + (
+                jnp.asarray(pixb),
+                jnp.asarray(cntb),
+                jnp.asarray(Kb),
+                jnp.asarray(seb),
+                jnp.asarray(teb),
+                jnp.asarray(centers),
+                scal(float(cfg.get("pixel_thres", 5.0))),
+            )
         out = step(*args)
         out = jax.device_get(out)
 

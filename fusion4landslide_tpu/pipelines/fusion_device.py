@@ -34,6 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from fusion4landslide_tpu.image.geometry import project_points
 from fusion4landslide_tpu.models.aggregation import ClusterFeatureNet
 from fusion4landslide_tpu.ops.segments import label_members
 from fusion4landslide_tpu.ops.supervoxel import supervoxel_segmentation
@@ -218,6 +219,107 @@ def _segment_centroids(
     )
 
 
+def _pixel_nn1(query_uv, query_valid, ref_uv, ref_valid, thr):
+    """Radius-bounded 1-NN in pixel space, fully traced.
+
+    2D pixels ride the 3D hash-grid kernels with a zero z column. Within
+    ``thr`` the result matches the host path's exact kNN chain
+    (image.geometry.chain_2d_matches_to_3d) wherever the per-cell
+    occupancy cap holds; beyond ``thr`` both paths mark the query invalid.
+
+    Returns (idx (n,), ok (n,)).
+    """
+    from fusion4landslide_tpu.ops.hashgrid import knn_grid_traced
+
+    thr = jnp.asarray(thr, query_uv.dtype)
+    q3 = jnp.concatenate(
+        [query_uv, jnp.zeros_like(query_uv[:, :1])], axis=1
+    )
+    r3 = jnp.concatenate([ref_uv, jnp.zeros_like(ref_uv[:, :1])], axis=1)
+    sq, idx = knn_grid_traced(
+        q3, r3, 1, r0=thr, ref_mask=ref_valid, query_mask=query_valid,
+        r_max=thr, max_doublings=1,
+    )
+    ok = query_valid & jnp.isfinite(sq[:, 0]) & (sq[:, 0] < thr * thr)
+    return idx[:, 0], ok
+
+
+def _chain_2d_device(uv_s, pv_s, uv_t, pv_t, pix, pmask, thr, mode):
+    """3D voxel correspondences from 2D pixel matches (base:387-470), the
+    traced equivalent of ``image.geometry.chain_2d_matches_to_3d``: per
+    source voxel, nearest match src endpoint within ``thr`` px → that
+    match's tgt endpoint → nearest projected target voxel within ``thr``.
+    ``mode`` follows the reference's ``matches_from_2d_type``
+    (base:1599-1620): nn_src_only / nn_mutual / nn_union.
+    """
+    m_idx, hop1 = _pixel_nn1(uv_s, pv_s, pix[:, 0:2], pmask, thr)
+    tgt_px = jnp.take(pix[:, 2:4], m_idx, axis=0)
+    t_idx, mask_src = _pixel_nn1(tgt_px, hop1, uv_t, pv_t, thr)
+    if mode == "nn_src_only":
+        return t_idx, mask_src
+    # Reverse chain (base:431-470) for the mutual/union modes.
+    m_idx_r, hop1r = _pixel_nn1(uv_t, pv_t, pix[:, 2:4], pmask, thr)
+    src_px = jnp.take(pix[:, 0:2], m_idx_r, axis=0)
+    s_idx, mask_tgt = _pixel_nn1(src_px, hop1r, uv_s, pv_s, thr)
+    back = jnp.take(s_idx, t_idx) == jnp.arange(uv_s.shape[0])
+    mask_tgt_at_i = jnp.take(mask_tgt, t_idx)
+    if mode == "nn_mutual":
+        return t_idx, mask_src & mask_tgt_at_i & back
+    if mode == "nn_union":
+        return t_idx, (mask_src | mask_tgt_at_i) & back
+    raise ValueError(
+        f"unknown matches_from_2d_type mode '{mode}' "
+        "(nn_src_only | nn_mutual | nn_union)"
+    )
+
+
+def _vote_2d_device(lab_s, lab_t, c2d_idx, c2d_valid, n_lab: int):
+    """Majority vote of per-voxel 2D matches into target superpoints
+    (base:3019-3070), the traced equivalent of
+    ``pipelines.fusion.coarse_match_2d_votes``: each src voxel with a valid
+    2D match votes its matched tgt voxel's superpoint; each src superpoint
+    takes the most-voted target (ties → smallest target label, matching
+    numpy argmax). Sort-based — no (S, S) vote matrix materialises.
+
+    Returns (vote_tgt (n_lab,), vote_count (n_lab,)).
+    """
+    V = lab_s.shape[0]
+    tlab = jnp.take(lab_t, jnp.clip(c2d_idx, 0, lab_t.shape[0] - 1))
+    ok = c2d_valid & (lab_s >= 0) & (tlab >= 0)
+    sentinel = jnp.int32(n_lab) * jnp.int32(n_lab)
+    key = jnp.where(
+        ok, lab_s.astype(jnp.int32) * n_lab + tlab.astype(jnp.int32),
+        sentinel,
+    )
+    skey = jnp.sort(key)
+    idxs = jnp.arange(V, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    )
+    last = jnp.concatenate(
+        [skey[1:] != skey[:-1], jnp.ones((1,), bool)]
+    )
+    start = jax.lax.cummax(jnp.where(first, idxs, 0))
+    count = idxs - start + 1  # run length, valid at each run's last slot
+    src_of = skey // n_lab
+    tgt_of = skey % n_lab
+    emit = last & (skey < sentinel)
+    cnt_max = (
+        jnp.zeros((n_lab,), jnp.int32)
+        .at[jnp.where(emit, src_of, n_lab)]
+        .max(jnp.where(emit, count, 0), mode="drop")
+    )
+    is_best = emit & (count == jnp.take(cnt_max, jnp.clip(src_of, 0, n_lab - 1)))
+    vote_tgt = (
+        jnp.full((n_lab,), n_lab, jnp.int32)
+        .at[jnp.where(is_best, src_of, n_lab)]
+        .min(tgt_of, mode="drop")
+    )
+    # Zero-vote rows keep the sentinel; clamp so gathers stay in range
+    # (callers must mask by vote_count >= min_votes).
+    return jnp.minimum(vote_tgt, n_lab - 1), cnt_max
+
+
 class Fusion3DTileResult(NamedTuple):
     moved: jax.Array  # (N, 3) R p + t per src point (p where unassigned)
     valid: jax.Array  # (N,) src point got a fine transform
@@ -255,6 +357,13 @@ class Fusion3DTileResult(NamedTuple):
         "feat_dtype",
         "sample_cap",
         "sample_priority",
+        "image_size",
+        "v_flip",
+        "matches_2d_mode",
+        "coarse_2d_mode",
+        "fine_2d_mode",
+        "extra_pair_cap",
+        "weighting_svd",
     ),
 )
 def fusion3d_tile_step(
@@ -274,6 +383,13 @@ def fusion3d_tile_step(
     thres_inlier_ratio: jax.Array | float = 0.15,
     sp_lab_src: jax.Array | None = None,  # (L, N) per-point labels, -1=none
     sp_lab_tgt: jax.Array | None = None,  # (L, M)
+    pix_matches: jax.Array | None = None,  # (IP, Pc, 4) [su, sv, tu, tv]
+    pix_count: jax.Array | None = None,  # (IP,) valid rows per image pair
+    intrinsic: jax.Array | None = None,  # (3, 3) K
+    src_extrinsics: jax.Array | None = None,  # (IP, 4, 4) world→cam
+    tgt_extrinsics: jax.Array | None = None,  # (IP, 4, 4)
+    center: jax.Array | None = None,  # (3,) world offset of the centred tile
+    pixel_thres: jax.Array | float = 5.0,
     *,
     levels: tuple[int, ...] = (1, 2, 3),
     k_max: int = 512,
@@ -295,10 +411,38 @@ def fusion3d_tile_step(
     feat_dtype: str | None = None,
     sample_cap: int = 48,
     sample_priority: str = "knn",
+    image_size: tuple[int, int] | None = None,
+    v_flip: bool = True,
+    matches_2d_mode: str = "nn_src_only",
+    coarse_2d_mode: str = "fusion",
+    fine_2d_mode: str = "fusion",
+    extra_pair_cap: int = 0,
+    weighting_svd: bool = False,
 ) -> Fusion3DTileResult:
-    """One fusion_3d tile, entirely on device. Stage citations in
+    """One fusion tile, entirely on device. Stage citations in
     ``pipelines.fusion`` (host path); this function reproduces the same
-    math over padded fixed-shape tensors."""
+    math over padded fixed-shape tensors.
+
+    With ``image_size`` set and the ``pix_matches``/``pix_count``/
+    ``intrinsic``/``src_extrinsics``/``tgt_extrinsics``/``center`` inputs
+    provided, the step additionally runs the RGB 2D-match channel of the
+    flagship fusion method (use_2d_matches=True): per image pair, project
+    the voxel clouds (base:1353-1449), chain the dense pixel matches to 3D
+    voxel correspondences (base:387-470), fill-in-merge across pairs
+    (base:1940-1953) and magnitude-gate (base:1640-1646); then fuse at the
+    coarse stage as superpoint majority votes unioned with the 3D mutual
+    matches (base:3019-3146) and at the fine stage as a second
+    correspondence channel inside each patch pair (base:3258-3296).
+
+    ``coarse_2d_mode``/``fine_2d_mode``: 'fusion' (default), 'only_2d', or
+    'off' — the reference's coarse_matching_fusion/only_2d and
+    fine_matching_fusion/only_2d switches. ``extra_pair_cap`` bounds the
+    per-level table of 2D-vote pairs that a 3D coarse match didn't already
+    propose (0 → sv_cap_l // 4, min 64); overflow counts into
+    ``n_dropped``. Where the host path resolves a src superpoint with BOTH
+    a 3D pair and a differing 2D-vote pair by numpy write order, this step
+    deterministically prefers the 3D pair and lets the 2D pair claim only
+    points the 3D pair left unassigned."""
     f32 = src.dtype
     smask = smask.astype(bool)
     tmask = tmask.astype(bool)
@@ -347,6 +491,42 @@ def fusion3d_tile_step(
         src_feat, tgt_feat, s_cent, t_cent,
         jnp.asarray(max_magnitude, f32), vvalid_s, vvalid_t,
     )
+
+    # 3b. Global voxel matches lifted from 2D pixel matches
+    # (base:1480-1675): project the voxel clouds into each image pair,
+    # chain pixels → voxels, fill-in-merge across pairs, magnitude-gate.
+    with_2d = image_size is not None and pix_matches is not None
+    if with_2d:
+        ip_count = pix_matches.shape[0]
+        ctr = jnp.zeros((3,), f32) if center is None else center.astype(f32)
+        thr_px = jnp.asarray(pixel_thres, f32)
+        mm2 = jnp.asarray(max_magnitude, f32) ** 2
+        c2d_idx = jnp.zeros((N,), jnp.int32)
+        c2d_ok = jnp.zeros((N,), bool)
+        for ipair in range(ip_count):
+            uv_s, _, pval_s = project_points(
+                s_cent + ctr, src_extrinsics[ipair], intrinsic,
+                image_size, mask=vvalid_s, v_flip=v_flip,
+            )
+            uv_t, _, pval_t = project_points(
+                t_cent + ctr, tgt_extrinsics[ipair], intrinsic,
+                image_size, mask=vvalid_t, v_flip=v_flip,
+            )
+            pmask = (
+                jnp.arange(pix_matches.shape[1]) < pix_count[ipair]
+            )
+            t2d, v2d = _chain_2d_device(
+                uv_s, pval_s, uv_t, pval_t, pix_matches[ipair], pmask,
+                thr_px, matches_2d_mode,
+            )
+            t2d = t2d.astype(jnp.int32)
+            mag2 = jnp.sum(
+                (jnp.take(t_cent, t2d, axis=0) - s_cent) ** 2, axis=1
+            )
+            v2d = v2d & (mag2 <= mm2)
+            fill = ~c2d_ok & v2d
+            c2d_idx = jnp.where(fill, t2d, c2d_idx)
+            c2d_ok = c2d_ok | fill
 
     base_svl = jnp.maximum(radius, jnp.asarray(voxel_size_init, f32))
 
@@ -476,33 +656,97 @@ def fusion3d_tile_step(
             vvalid_s & (lab_s >= 0) & ~in_table
         )
 
-        # 4. Superpoint aggregation (base:2561-2656) + coarse matching
-        # (base:2966-2999).
-        spt_feat_s, spt_coord_s = _aggregate_chunked(
-            agg_params, src_feat, s_cent, mem_s, memmask_s,
-            agg_max_points=agg_max_points,
-        )
-        spt_feat_t, spt_coord_t = _aggregate_chunked(
-            agg_params, tgt_feat, t_cent, mem_t, memmask_t,
-            agg_max_points=agg_max_points,
-        )
         svalid_s = jnp.arange(sv_cap_l) < n_s
         svalid_t = jnp.arange(sv_cap_l) < n_t
-        tgt_of_src, pair_valid = coarse_match_superpoints_chunked(
-            spt_feat_s, spt_coord_s, svalid_s,
-            spt_feat_t, spt_coord_t, svalid_t,
-            jnp.asarray(max_magnitude, f32),
-            mutual=coarse_mutual,
-        )
+        only_2d_coarse = with_2d and coarse_2d_mode == "only_2d"
+        if only_2d_coarse:
+            # Reference coarse_matching_only_2d: the 2D votes alone propose
+            # pairs — the feature aggregation and 3D coarse matcher are
+            # skipped entirely.
+            vote_tgt, vote_cnt = _vote_2d_device(
+                lab_s, lab_t, c2d_idx, c2d_ok, sv_cap_l
+            )
+            tgt_of_src = vote_tgt
+            pair_valid = (vote_cnt >= 1) & svalid_s
+        else:
+            # 4. Superpoint aggregation (base:2561-2656) + coarse matching
+            # (base:2966-2999).
+            spt_feat_s, spt_coord_s = _aggregate_chunked(
+                agg_params, src_feat, s_cent, mem_s, memmask_s,
+                agg_max_points=agg_max_points,
+            )
+            spt_feat_t, spt_coord_t = _aggregate_chunked(
+                agg_params, tgt_feat, t_cent, mem_t, memmask_t,
+                agg_max_points=agg_max_points,
+            )
+            tgt_of_src, pair_valid = coarse_match_superpoints_chunked(
+                spt_feat_s, spt_coord_s, svalid_s,
+                spt_feat_t, spt_coord_t, svalid_t,
+                jnp.asarray(max_magnitude, f32),
+                mutual=coarse_mutual,
+            )
+
+        # 4b. Coarse fusion (base:3019-3146): 2D majority votes union with
+        # the 3D mutual matches. Votes a 3D pair didn't already propose go
+        # into a compacted per-level extras table appended to the fine
+        # solve.
+        fusion_votes = with_2d and coarse_2d_mode == "fusion"
+        if fusion_votes:
+            E_l = extra_pair_cap or max(sv_cap_l // 4, 64)
+            vote_tgt, vote_cnt = _vote_2d_device(
+                lab_s, lab_t, c2d_idx, c2d_ok, sv_cap_l
+            )
+            vote_ok = (vote_cnt >= 1) & svalid_s
+            extra_valid = vote_ok & ~(pair_valid & (tgt_of_src == vote_tgt))
+            order = jnp.argsort(~extra_valid)  # valid-first, stable
+            sel = order[:E_l].astype(jnp.int32)
+            sel_ok = jnp.take(extra_valid, sel)
+            n_dropped = n_dropped + jnp.sum(extra_valid) - jnp.sum(sel_ok)
+            extra_lab = jnp.where(sel_ok, sel, -1)
+            tgt_e = jnp.where(sel_ok, jnp.take(vote_tgt, sel), -1)
+            mem_f = jnp.concatenate(
+                [mem_s, jnp.take(mem_s, sel, axis=0)], axis=0
+            )
+            memmask_f = jnp.concatenate(
+                [
+                    memmask_s & pair_valid[:, None],
+                    jnp.take(memmask_s, sel, axis=0) & sel_ok[:, None],
+                ],
+                axis=0,
+            )
+            tgtlab_f = jnp.concatenate(
+                [
+                    jnp.where(pair_valid, tgt_of_src, -1).astype(jnp.int32),
+                    tgt_e.astype(jnp.int32),
+                ],
+                axis=0,
+            )
+        else:
+            mem_f = mem_s
+            memmask_f = memmask_s & pair_valid[:, None]
+            tgtlab_f = jnp.where(pair_valid, tgt_of_src, -1).astype(jnp.int32)
 
         # 5. Fine matching per matched pair (base:3236-3436): every src
-        # superpoint slot is a candidate pair; invalid ones masked out.
+        # superpoint slot is a candidate pair; invalid ones masked out. In
+        # fusion mode the 2D channel contributes a second point-match set
+        # inside each patch (base:3258-3296).
+        if with_2d and fine_2d_mode == "only_2d":
+            ch1_idx, ch1_valid = c2d_idx, c2d_ok
+        else:
+            ch1_idx, ch1_valid = g_idx.astype(jnp.int32), g_valid
+        fine_kw = {}
+        if with_2d and fine_2d_mode == "fusion":
+            fine_kw = dict(
+                corres2_tgt_idx=c2d_idx,
+                corres2_valid=c2d_ok,
+                weighting=weighting_svd,
+            )
         fine = fine_match_pairs(
-            mem_s,
-            memmask_s & pair_valid[:, None],
-            jnp.where(pair_valid, tgt_of_src, -1).astype(jnp.int32),
-            g_idx.astype(jnp.int32),
-            g_valid,
+            mem_f,
+            memmask_f,
+            tgtlab_f,
+            ch1_idx,
+            ch1_valid,
             lab_t,
             s_cent,
             t_cent,
@@ -514,8 +758,9 @@ def fusion3d_tile_step(
             icp_max_iter=icp_max_iter,
             icp_type=icp_type,
             fine_max_matches=fine_max_matches,
+            **fine_kw,
         )
-        lab_ok = fine.valid & pair_valid & svalid_s
+        lab_ok = fine.valid[:sv_cap_l] & pair_valid & svalid_s
 
         # 6. Dense per-point assignment, merged by level priority
         # (coarse_to_fine_matching.py:215-287).
@@ -535,22 +780,69 @@ def fusion3d_tile_step(
         merged_rmse = jnp.where(take, jnp.take(fine.rmse, pl), merged_rmse)
         merged_valid = merged_valid | take
 
+        if fusion_votes:
+            # Extras-table fill-in: a 2D-vote pair claims the points of its
+            # src superpoint only where the 3D pair (and earlier levels)
+            # left them unassigned — deterministic counterpart of the host
+            # path's write-order tie-break.
+            e_fine_ok = fine.valid[sv_cap_l:] & sel_ok  # (E_l,)
+            row_of_lab = (
+                jnp.full((sv_cap_l,), -1, jnp.int32)
+                .at[jnp.where(extra_lab >= 0, extra_lab, sv_cap_l)]
+                .set(jnp.arange(E_l, dtype=jnp.int32), mode="drop")
+            )
+            prow = jnp.take(row_of_lab, pl)
+            prow_c = jnp.clip(prow, 0, E_l - 1)
+            e_has = (
+                (pt_label >= 0) & (prow >= 0) & jnp.take(e_fine_ok, prow_c)
+            )
+            take_e = e_has & ~merged_valid
+            erow = sv_cap_l + prow_c
+            merged_R = jnp.where(
+                take_e[:, None, None],
+                jnp.take(fine.R, erow, axis=0),
+                merged_R,
+            )
+            merged_t = jnp.where(
+                take_e[:, None], jnp.take(fine.t, erow, axis=0), merged_t
+            )
+            merged_rmse = jnp.where(
+                take_e, jnp.take(fine.rmse, erow), merged_rmse
+            )
+            merged_valid = merged_valid | take_e
+
         if with_tgt2src:
             # Exact reference semantics (base:3386-3393): each matched
             # pair's inverse transform applies to the TARGET patch's points.
-            Rinv = jnp.swapaxes(fine.R, -1, -2)  # (sv_cap_l, 3, 3)
-            tinv = -jnp.einsum("sij,sj->si", Rinv, fine.t)
+            pair_R_of_tlab = jnp.broadcast_to(
+                jnp.eye(3, dtype=f32), (sv_cap_l, 3, 3)
+            )
+            pair_t_of_tlab = jnp.zeros((sv_cap_l, 3), f32)
+            pair_ok_of_tlab = jnp.zeros((sv_cap_l,), bool)
+            if fusion_votes:
+                # Scatter the extras first so a 3D pair targeting the same
+                # label wins (3D priority, as in the dense merge).
+                Rinv_e = jnp.swapaxes(fine.R[sv_cap_l:], -1, -2)
+                tinv_e = -jnp.einsum(
+                    "sij,sj->si", Rinv_e, fine.t[sv_cap_l:]
+                )
+                tle = jnp.where(e_fine_ok, tgt_e, sv_cap_l)
+                pair_R_of_tlab = pair_R_of_tlab.at[tle].set(
+                    Rinv_e, mode="drop"
+                )
+                pair_t_of_tlab = pair_t_of_tlab.at[tle].set(
+                    tinv_e, mode="drop"
+                )
+                pair_ok_of_tlab = pair_ok_of_tlab.at[tle].set(
+                    e_fine_ok, mode="drop"
+                )
+            Rinv = jnp.swapaxes(fine.R[:sv_cap_l], -1, -2)
+            tinv = -jnp.einsum("sij,sj->si", Rinv, fine.t[:sv_cap_l])
             # Scatter pair inverse onto its TARGET label slot.
             tl = jnp.where(lab_ok, tgt_of_src, sv_cap_l)
-            pair_R_of_tlab = (
-                jnp.broadcast_to(jnp.eye(3, dtype=f32), (sv_cap_l, 3, 3))
-                .at[tl]
-                .set(Rinv, mode="drop")
-            )
-            pair_t_of_tlab = jnp.zeros((sv_cap_l, 3), f32).at[tl].set(
-                tinv, mode="drop"
-            )
-            pair_ok_of_tlab = jnp.zeros((sv_cap_l,), bool).at[tl].set(
+            pair_R_of_tlab = pair_R_of_tlab.at[tl].set(Rinv, mode="drop")
+            pair_t_of_tlab = pair_t_of_tlab.at[tl].set(tinv, mode="drop")
+            pair_ok_of_tlab = pair_ok_of_tlab.at[tl].set(
                 lab_ok, mode="drop"
             )
             tp_vox = jnp.clip(t_p2v, 0, M - 1)

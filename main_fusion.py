@@ -149,46 +149,6 @@ def main() -> None:
 
     import jax
 
-    use_mesh = cfg.get("use_mesh", "auto")
-    if use_mesh == "auto":
-        # superpoint partitions are generated host-side and fed into the
-        # sharded step as per-point label inputs, so they no longer gate
-        # the mesh path.
-        use_mesh = (
-            jax.device_count() > 1
-            and len(tiles) > 1
-            and image_kit is None
-            and image_candidates is None
-        )
-    if use_mesh and (image_kit is not None or image_candidates is not None):
-        logger.warning(
-            "use_mesh requested but the RGB 2D-match channel is host-side; "
-            "falling back to the serial per-tile path"
-        )
-        use_mesh = False
-    if use_mesh:
-        # Multi-chip path (3D-only): tiles sharded over the device mesh,
-        # each chip running the device-resident coarse-to-fine pipeline.
-        from fusion4landslide_tpu.parallel import run_fusion3d_tiles_sharded
-
-        logger.info(
-            "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
-        )
-        from fusion4landslide_tpu.pipelines.driver import (
-            iter_tile_clouds,
-            tile_size_buckets,
-        )
-
-        n_bucket, m_bucket = tile_size_buckets(tiles)
-        lazy = (
-            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
-        )
-        run_fusion3d_tiles_sharded(
-            cfg, dips_params, agg_params, lazy, logger=logger,
-            n_bucket=n_bucket, m_bucket=m_bucket,
-        )
-        tiles = []
-
     _img_cache: dict = {}
 
     def _load_cached(path):
@@ -197,6 +157,151 @@ def main() -> None:
         if path not in _img_cache:
             _img_cache[path] = load_image(path)
         return _img_cache[path]
+
+    use_mesh = cfg.get("use_mesh", "auto")
+    has_rgb = image_kit is not None or image_candidates is not None
+    if use_mesh == "auto":
+        # Superpoint partitions are generated host-side and fed into the
+        # sharded step as per-point label inputs; the RGB 2D-match channel
+        # runs inside the device step from per-tile pixel-match tables —
+        # neither gates the mesh path. The one host-only image feature is
+        # depth-map lifting.
+        use_mesh = (
+            jax.device_count() > 1
+            and len(tiles) > 1
+            and not (
+                has_rgb
+                and str(cfg.get("lifting_type", "nn_search"))
+                == "interpolation"
+            )
+        )
+    if use_mesh:
+        # Multi-chip path: tiles sharded over the device mesh, each chip
+        # running the device-resident coarse-to-fine pipeline (full RGB+3D
+        # fusion when the image channel is configured).
+        import numpy as np
+
+        from fusion4landslide_tpu.ops.segments import bucket_size
+        from fusion4landslide_tpu.parallel import run_fusion3d_tiles_sharded
+        from fusion4landslide_tpu.pipelines.driver import (
+            iter_tile_clouds,
+            tile_size_buckets,
+        )
+
+        logger.info(
+            "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
+        )
+
+        image_kit_fn = None
+        pix_cap = None
+        n_ip = 1
+        if has_rgb:
+            from fusion4landslide_tpu.image.matching import match_epoch_images
+
+            def _match_pair(simg, timg):
+                m = match_epoch_images(
+                    simg,
+                    timg,
+                    matcher=str(cfg.get("img_matching_type", "zncc")).lower(),
+                    crop_size=tuple(cfg["crop_size"])
+                    if cfg.get("crop_size")
+                    else None,
+                    overlap_size=tuple(cfg["overlap_size"])
+                    if cfg.get("overlap_size")
+                    else None,
+                    cross_crops=bool(cfg.get("img_matching_cross_crops", False)),
+                    max_flow_px=cfg.get("max_flow_px"),
+                    logger=logger,
+                    weights=cfg.get("img_matcher_weights"),
+                )
+                return np.asarray(m, np.float32).reshape(-1, 4)
+
+            max_px = 1
+            if image_kit is not None:
+                src_img, tgt_img, intrinsic, src_ext, tgt_ext, corres_2d = (
+                    image_kit
+                )
+                pix = (
+                    np.asarray(corres_2d, np.float32)[:, :4]
+                    if corres_2d is not None
+                    else _match_pair(src_img, tgt_img)
+                )
+                max_px = max(max_px, len(pix))
+                kit0 = {
+                    "pix": [pix],
+                    "intrinsic": intrinsic,
+                    "src_extrinsics": [src_ext],
+                    "tgt_extrinsics": [tgt_ext],
+                }
+                image_kit_fn = lambda tid, s, t: kit0  # noqa: E731
+            else:
+                # Per-tile best-image selection (base:760-858); the dense
+                # matcher runs once per distinct image pair across tiles.
+                from fusion4landslide_tpu.image.cameras import (
+                    select_best_images,
+                )
+
+                src_entries, tgt_entries, intrinsic = image_candidates
+                num_sub = int(cfg.get("num_sub_img", 1) or 1)
+                n_ip = num_sub * num_sub
+                image_size = tuple(cfg.get("image_size"))
+                v_flip = (
+                    str(cfg.get("dataset", "")).lower() != "rockfall_simulator"
+                )
+                pair_cache: dict = {}
+                kits: dict = {}
+                for tile_id, src, tgt in iter_tile_clouds(tiles):
+                    best_s = select_best_images(
+                        src.points, src_entries, intrinsic, image_size,
+                        num=num_sub, v_flip=v_flip,
+                    )
+                    best_t = select_best_images(
+                        tgt.points, tgt_entries, intrinsic, image_size,
+                        num=num_sub, v_flip=v_flip,
+                    )
+                    pix_l, se_l, te_l = [], [], []
+                    for sn, sext in best_s:
+                        for tn, text in best_t:
+                            if (sn, tn) not in pair_cache:
+                                pair_cache[(sn, tn)] = _match_pair(
+                                    _load_cached(
+                                        osp.join(
+                                            input_root, "image",
+                                            "raw_images", "src_images", sn,
+                                        )
+                                    ),
+                                    _load_cached(
+                                        osp.join(
+                                            input_root, "image",
+                                            "raw_images", "tgt_images", tn,
+                                        )
+                                    ),
+                                )
+                            pix_l.append(pair_cache[(sn, tn)])
+                            se_l.append(sext)
+                            te_l.append(text)
+                    max_px = max(
+                        max_px, max((len(p) for p in pix_l), default=1)
+                    )
+                    kits[tile_id] = {
+                        "pix": pix_l,
+                        "intrinsic": intrinsic,
+                        "src_extrinsics": se_l,
+                        "tgt_extrinsics": te_l,
+                    }
+                image_kit_fn = lambda tid, s, t: kits[tid]  # noqa: E731
+            pix_cap = bucket_size(max_px)
+
+        n_bucket, m_bucket = tile_size_buckets(tiles)
+        lazy = (
+            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
+        )
+        run_fusion3d_tiles_sharded(
+            cfg, dips_params, agg_params, lazy, logger=logger,
+            n_bucket=n_bucket, m_bucket=m_bucket,
+            image_kit_fn=image_kit_fn, pix_cap=pix_cap, n_image_pairs=n_ip,
+        )
+        tiles = []
 
     from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
 
