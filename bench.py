@@ -2,14 +2,19 @@
 """Headline benchmark.
 
 Default mode (``BENCH_MODE=e2e``): the BASELINE.json headline metric —
-epoch-pair end-to-end minutes — measured on the ACTUAL multi-chip
-execution path: ``parallel.pipeline.make_sharded_fusion3d_step``, the
+epoch-pair end-to-end minutes for the FULL RGB+3D fusion method —
+measured on the ACTUAL multi-chip execution path:
+``parallel.pipeline.make_sharded_fusion3d_step`` with image inputs, the
 jitted shard_map program that ``run_fusion3d_tiles_sharded`` dispatches
 (median resolution → adaptive voxel subsample → DIPs descriptors → global
-3D matches → multi-level supervoxel partition → attention aggregation →
-coarse mutual matching → fine per-patch SVD+ICP → dense DVF + sparse
-re-association), on a synthetic ``BENCH_N``-point tile padded to its
-power-of-two bucket. The 50M-point epoch-pair extrapolation is
+3D matches → 2D pixel channel [projection, pixel→voxel chaining,
+magnitude gate] → multi-level supervoxel partition → attention
+aggregation → coarse mutual matching unioned with 2D majority votes →
+fine per-patch SVD+ICP over both correspondence channels → dense DVF +
+sparse re-association), on a synthetic ``BENCH_N``-point tile padded to
+its power-of-two bucket with a 4K camera pair and a dense pixel-match
+table of ``BENCH_N/2`` rows. ``BENCH_MODE=e2e3d`` measures the 3D-only
+method (use_2d_matches=False). The 50M-point epoch-pair extrapolation is
 
     minutes_50M_v5e8 = tile_seconds * (50e6 / BENCH_N) / 8 / 60
 
@@ -106,8 +111,50 @@ def _models():
     return dips_params, agg_params
 
 
-def bench_e2e(n: int) -> dict:
-    """Warm per-tile seconds of the sharded fusion_3d device step."""
+IMG_SIZE = (4096, 4096)  # 4K imagery per the BASELINE.json north star
+
+
+def synth_image_channel(src: np.ndarray, tgt: np.ndarray, n_matches: int):
+    """4K camera above the tile + dense pixel matches through it (the
+    shape/scale of an EfficientLoFTR output on an embedded 4K image pair)."""
+    import jax.numpy as jnp
+
+    from fusion4landslide_tpu.image.geometry import project_points
+
+    h, w = IMG_SIZE
+    lo = src.min(axis=0)
+    hi = src.max(axis=0)
+    mid = (lo + hi) / 2
+    span = float(max(hi[0] - lo[0], hi[1] - lo[1], 1.0))
+    K = np.array(
+        [[4000.0, 0, w / 2], [0, 4000.0, h / 2], [0, 0, 1.0]], np.float32
+    )
+    E = np.eye(4, dtype=np.float32)
+    E[:3, 3] = [-mid[0], -mid[1], 1.2 * span - mid[2]]
+    stride = max(1, src.shape[0] // n_matches)
+    sub = np.arange(0, src.shape[0], stride)
+    uv_s, _, ok_s = project_points(
+        jnp.asarray(src[sub]), jnp.asarray(E), jnp.asarray(K), IMG_SIZE,
+        v_flip=True,
+    )
+    uv_t, _, ok_t = project_points(
+        jnp.asarray(tgt[sub]), jnp.asarray(E), jnp.asarray(K), IMG_SIZE,
+        v_flip=True,
+    )
+    keep = np.asarray(ok_s & ok_t)
+    pix = np.concatenate(
+        [np.asarray(uv_s)[keep], np.asarray(uv_t)[keep]], axis=1
+    ).astype(np.float32)
+    return pix, K, E
+
+
+def bench_e2e(n: int, with_rgb: bool) -> dict:
+    """Warm per-tile seconds of the sharded fusion device step — the full
+    RGB+3D method (in-step 2D pixel channel, ``with_rgb=True``) or the
+    3D-only method. The per-epoch dense image matcher runs once per image
+    pair (a handful per epoch), not per tile, so its cost amortises to
+    noise over ~400 tiles; the per-tile 2D channel (projection, chaining,
+    vote union, second fine channel) is IN the measured step."""
     import jax
     import jax.numpy as jnp
 
@@ -132,10 +179,7 @@ def bench_e2e(n: int) -> dict:
     # Production statics (fusion_brienz-class config; bf16 descriptor
     # activations — recommended production precision, match recovery
     # verified identical on the synthetic drives).
-    step = make_sharded_fusion3d_step(
-        tile_mesh(1),
-        dips_params,
-        agg_params,
+    statics = dict(
         levels=(1, 2, 3),
         k_max=512,
         patch_points=256,
@@ -148,6 +192,15 @@ def bench_e2e(n: int) -> dict:
         with_tgt2src=False,
         feat_dtype="bfloat16",
     )
+    if with_rgb:
+        statics.update(image_size=IMG_SIZE, v_flip=True)
+    step = make_sharded_fusion3d_step(
+        tile_mesh(1),
+        dips_params,
+        agg_params,
+        with_image_inputs=with_rgb,
+        **statics,
+    )
     keys = jax.random.split(jax.random.PRNGKey(0), 1)
     scal = lambda v, dt=jnp.float32: jnp.full((1,), v, dt)
     args = (
@@ -156,6 +209,20 @@ def bench_e2e(n: int) -> dict:
         scal(5.0), scal(0.1), scal(0.1),
         scal(10, jnp.int32), scal(10, jnp.int32), scal(0.5), scal(0.15),
     )
+    if with_rgb:
+        pix, K, E = synth_image_channel(src, tgt, n_matches=n // 2)
+        Pc = bucket_size(len(pix))
+        pixb = np.zeros((1, 1, Pc, 4), np.float32)
+        pixb[0, 0, : len(pix)] = pix
+        args = args + (
+            jnp.asarray(pixb),
+            jnp.full((1, 1), len(pix), jnp.int32),
+            jnp.asarray(K)[None],
+            jnp.asarray(E)[None, None],
+            jnp.asarray(E)[None, None],
+            jnp.asarray(c, jnp.float32)[None],
+            scal(5.0),
+        )
     out = step(*args)
     np.asarray(out.valid[0, :8])  # cold (compile) run
     best = float("inf")
@@ -168,7 +235,11 @@ def bench_e2e(n: int) -> dict:
     assert float(v[0, :n].mean()) > 0.5  # most points assigned
     minutes = best * (50e6 / n) / ASSUMED_CHIPS / 60.0
     return {
-        "metric": "fusion3d_epoch_pair_50M_v5e8_extrapolated",
+        "metric": (
+            "fusion_rgb3d_epoch_pair_50M_v5e8_extrapolated"
+            if with_rgb
+            else "fusion3d_epoch_pair_50M_v5e8_extrapolated"
+        ),
         "value": round(minutes, 2),
         "unit": "min",
         "vs_baseline": round(TARGET_MINUTES / minutes, 3),
@@ -277,16 +348,30 @@ def bench_knn(n: int) -> dict:
 
 
 def main() -> None:
-    from fusion4landslide_tpu.utils.platform import enable_compile_cache
+    from fusion4landslide_tpu.utils.platform import (
+        apply_platform_from_env,
+        enable_compile_cache,
+    )
 
+    # Honour F4L_PLATFORM=cpu for smoke runs (the environment's site hook
+    # force-selects the tunnelled TPU plugin otherwise).
+    apply_platform_from_env()
     enable_compile_cache()
     mode = os.environ.get("BENCH_MODE", "e2e")
     if mode == "knn":
         result = bench_knn(int(os.environ.get("BENCH_N", 1_000_000)))
     elif mode == "host":
         result = bench_host(int(os.environ.get("BENCH_N", 100_000)))
+    elif mode == "e2e3d":
+        result = bench_e2e(
+            int(os.environ.get("BENCH_N", 100_000)), with_rgb=False
+        )
     else:
-        result = bench_e2e(int(os.environ.get("BENCH_N", 100_000)))
+        # Headline: the full RGB+3D fusion method (the BASELINE.json
+        # north-star workload), 2D pixel channel inside the device step.
+        result = bench_e2e(
+            int(os.environ.get("BENCH_N", 100_000)), with_rgb=True
+        )
     print(json.dumps(result))
 
 
