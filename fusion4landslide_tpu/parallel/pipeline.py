@@ -465,11 +465,7 @@ def run_fusion3d_tiles_sharded(
             lab[li, : pl.shape[0]] = pl.astype(np.int32)
         return lab
 
-    if (
-        bool(cfg.get("prewarm", False))
-        and not use_partition_inputs
-        and not with_image
-    ):
+    if bool(cfg.get("prewarm", False)) and not use_partition_inputs:
         # Compile the whole bucket program (incl. Mosaic kernels) on an
         # empty batch in the background while tile IO streams; the first
         # real dispatch blocks on the same executable, so compute never
@@ -483,7 +479,11 @@ def run_fusion3d_tiles_sharded(
         threading.Thread(
             target=prewarm_fusion3d_sharded,
             args=(step, n_dev, N, M),
-            kwargs={"logger": logger},
+            kwargs={
+                "logger": logger,
+                "pix_cap": pix_cap if with_image else None,
+                "n_image_pairs": n_image_pairs,
+            },
             daemon=True,
         ).start()
 

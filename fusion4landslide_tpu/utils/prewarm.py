@@ -36,25 +36,50 @@ def _zero_batch(n_dev: int, N: int, M: int):
 
 
 def prewarm_fusion3d_sharded(
-    step, n_dev: int, N: int, M: int, *, logger=None
+    step,
+    n_dev: int,
+    N: int,
+    M: int,
+    *,
+    pix_cap: int | None = None,
+    n_image_pairs: int = 1,
+    logger=None,
 ) -> float:
     """Compile a ``make_sharded_fusion3d_step`` program (and every Mosaic
-    kernel inside) on an empty batch. Returns the compile wall time."""
+    kernel inside) on an empty batch. Pass ``pix_cap`` for a step built
+    with ``with_image_inputs=True`` (full RGB+3D fusion). Returns the
+    compile wall time."""
     import jax.numpy as jnp
 
     src, smask, tgt, tmask, keys = _zero_batch(n_dev, N, M)
     scal = lambda v, dt=jnp.float32: jnp.full((n_dev,), v, dt)
-    t0 = time.perf_counter()
-    out = step(
+    args = (
         src, smask, tgt, tmask, keys,
         scal(10.0), scal(0.1), scal(0.0),
         scal(10, jnp.int32), scal(10, jnp.int32), scal(0.5), scal(0.15),
     )
+    if pix_cap is not None:
+        eye4 = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (n_dev, n_image_pairs, 4, 4)
+        )
+        args = args + (
+            jnp.zeros((n_dev, n_image_pairs, pix_cap, 4), jnp.float32),
+            jnp.zeros((n_dev, n_image_pairs), jnp.int32),
+            jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), (n_dev, 3, 3)
+            ),
+            eye4,
+            eye4,
+            jnp.zeros((n_dev, 3), jnp.float32),
+            scal(5.0),
+        )
+    t0 = time.perf_counter()
+    out = step(*args)
     np.asarray(out.valid[:1, :1])
     dt = time.perf_counter() - t0
     if logger:
         logger.info(
-            "prewarm: fusion_3d sharded step compiled for (%d, %d/%d) "
+            "prewarm: fusion sharded step compiled for (%d, %d/%d) "
             "in %.1f s", n_dev, N, M, dt,
         )
     return dt

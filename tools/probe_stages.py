@@ -130,6 +130,45 @@ def main() -> None:
     )
     g_idx, g_valid = gout
 
+    # RGB 2D channel of the full fusion method: voxel-cloud projection +
+    # pixel->voxel chaining (grid 1-NN in pixel space).
+    from bench import IMG_SIZE, synth_image_channel
+    from fusion4landslide_tpu.image.geometry import project_points
+    from fusion4landslide_tpu.pipelines.fusion_device import (
+        _chain_2d_device,
+        _vote_2d_device,
+    )
+
+    pix_np, K_np, E_np = synth_image_channel(src_np, tgt_np, n // 2)
+    Pc = bucket_size(len(pix_np))
+    pixb = (
+        jnp.zeros((Pc, 4), jnp.float32).at[: len(pix_np)].set(
+            jnp.asarray(pix_np)
+        )
+    )
+    pmask = jnp.arange(Pc) < len(pix_np)
+    K_j = jnp.asarray(K_np, jnp.float32)
+    E_j = jnp.asarray(E_np, jnp.float32)
+    ctr = jnp.asarray(c, jnp.float32)
+
+    def _rgb_chain(sc, tc, va, vb, px, pm, cc):
+        uv_s, _, pv_s = project_points(
+            sc + cc, E_j, K_j, IMG_SIZE, mask=va, v_flip=True
+        )
+        uv_t, _, pv_t = project_points(
+            tc + cc, E_j, K_j, IMG_SIZE, mask=vb, v_flip=True
+        )
+        return _chain_2d_device(
+            uv_s, pv_s, uv_t, pv_t, px, pm, 5.0, "nn_src_only"
+        )
+
+    c2d = timeit(
+        "rgb project+chain",
+        _rgb_chain,
+        s_cent, t_cent, vvalid_s, vvalid_t, pixb, pmask, ctr,
+    )
+    c2d_idx, c2d_ok = (c2d[0].astype(jnp.int32), c2d[1])
+
     base_svl = radius
     graphs = timeit(
         "supervoxel_graph+normals x2",
@@ -217,6 +256,51 @@ def main() -> None:
         mem_s, memmask_s & pair_valid[:, None],
         jnp.where(pair_valid, tgt_of_src, -1).astype(jnp.int32),
         g_idx.astype(jnp.int32), g_valid, lab_t, s_cent, t_cent,
+    )
+
+    # RGB union: votes + extras table + two-channel fine solve (the fine
+    # stage as the full RGB+3D method runs it).
+    votes = timeit(
+        "rgb vote L1",
+        lambda ls, lt, ci, cv: _vote_2d_device(ls, lt, ci, cv, sv_cap),
+        lab_s, lab_t, c2d_idx, c2d_ok,
+    )
+    vote_tgt, vote_cnt = votes
+    E_cap = max(sv_cap // 4, 64)
+
+    def _fine_union(ms, mms, pv, ts, vt, vc, ci, cv, g_i, g_v, lt, sc, tc):
+        vote_ok = (vc >= 1) & svalid_s
+        extra_valid = vote_ok & ~(pv & (ts == vt))
+        order = jnp.argsort(~extra_valid)
+        sel = order[:E_cap].astype(jnp.int32)
+        sel_ok = jnp.take(extra_valid, sel)
+        mem_f = jnp.concatenate([ms, jnp.take(ms, sel, axis=0)], axis=0)
+        memmask_f = jnp.concatenate(
+            [mms & pv[:, None], jnp.take(mms, sel, axis=0) & sel_ok[:, None]],
+            axis=0,
+        )
+        tgtlab_f = jnp.concatenate(
+            [
+                jnp.where(pv, ts, -1).astype(jnp.int32),
+                jnp.where(sel_ok, jnp.take(vt, sel), -1).astype(jnp.int32),
+            ],
+            axis=0,
+        )
+        return fine_match_pairs(
+            mem_f, memmask_f, tgtlab_f, g_i, g_v, lt, sc, tc,
+            corres2_tgt_idx=ci, corres2_valid=cv,
+            num_min_quality=10, thres_dist_diff=0.5,
+            thres_inlier_ratio=0.15, num_min_fine=10,
+            icp_threshold=0.1, icp_max_iter=30,
+            icp_type="point2point", fine_max_matches=256,
+        )
+
+    timeit(
+        "fine_match_pairs (rgb union)",
+        _fine_union,
+        mem_s, memmask_s, pair_valid, tgt_of_src, vote_tgt, vote_cnt,
+        c2d_idx, c2d_ok, g_idx.astype(jnp.int32), g_valid,
+        lab_t, s_cent, t_cent,
     )
 
     timeit(
