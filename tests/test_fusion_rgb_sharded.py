@@ -188,6 +188,72 @@ def test_sharded_fusion_rgb_recovers_shift(rng, tmp_path, coarse_only_2d):
 
 
 @needs_mesh
+def test_sharded_fusion_rgb_matches_host_tile(rng, tmp_path):
+    """Mesh on/off consistency for the full RGB+3D method: the sharded
+    runner and the serial host tile produce the same displacement field
+    (both consume the same injected pixel matches; the device path's
+    grid-bounded pixel NN and deterministic pair-union are equivalent on
+    a clean scene)."""
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.parallel import (
+        run_fusion3d_tiles_sharded,
+        tile_mesh,
+    )
+    from fusion4landslide_tpu.pipelines.fusion import run_fusion_tile
+
+    dips, agg = _fusion_params()
+    base, tgt, shift, pix = _scene(rng)
+    common = {
+        "feat_k_max": 16,
+        "feat_patch_points": 16,
+        "feat_chunk": 32,
+        "agg_max_points": 32,
+        "num_min_matches_for_small_patch": 3,
+        "level_of_superpoint": [1],
+        "max_magnitude": 10.0,
+        "icp_threshold": 0.1,
+        "image_size": list(IMAGE_SIZE),
+        "pixel_thres": 5.0,
+        "dataset": "brienz_tls",
+    }
+    host_cfg = dict(
+        common, output_dir=str(tmp_path), output_folder="host"
+    )
+    dummy = np.zeros((*IMAGE_SIZE, 3), np.uint8)
+    host = run_fusion_tile(
+        host_cfg, dips, agg, base, tgt, dummy, dummy,
+        INTRINSIC, EXTRINSIC, EXTRINSIC, corres_2d=pix, tile_id=0,
+    )
+    kit = {
+        "pix": [pix],
+        "intrinsic": INTRINSIC,
+        "src_extrinsics": [EXTRINSIC],
+        "tgt_extrinsics": [EXTRINSIC],
+    }
+    sh_cfg = Config(
+        dict(common, output_dir=str(tmp_path), output_folder="sharded",
+             sv_cap=64, member_cap=64)
+    )
+    sh = run_fusion3d_tiles_sharded(
+        sh_cfg, dips, agg, [("0", base, tgt)], mesh=tile_mesh(8),
+        rng_seed=0, image_kit_fn=lambda tid, s, t: kit, pix_cap=256,
+        n_image_pairs=1,
+    )
+    h_dvfs = host["dvfs"]
+    s_dvfs = sh["0"]["dvfs"]
+    assert abs(len(h_dvfs) - len(s_dvfs)) <= 0.1 * max(len(h_dvfs), 1)
+    # Compare displacement vectors on commonly-assigned source points.
+    h_map = {tuple(np.round(r[:3], 5)): r[3:6] - r[:3] for r in h_dvfs}
+    deltas = [
+        np.linalg.norm((r[3:6] - r[:3]) - h_map[tuple(np.round(r[:3], 5))])
+        for r in s_dvfs
+        if tuple(np.round(r[:3], 5)) in h_map
+    ]
+    assert len(deltas) > 0.8 * len(s_dvfs)
+    assert np.median(deltas) < 1e-3
+
+
+@needs_mesh
 def test_sharded_fusion_rgb_step_8dev_matches_1dev(rng):
     from fusion4landslide_tpu.parallel import (
         make_sharded_fusion3d_step,
