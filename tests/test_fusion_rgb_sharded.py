@@ -254,6 +254,50 @@ def test_sharded_fusion_rgb_matches_host_tile(rng, tmp_path):
 
 
 @needs_mesh
+def test_sharded_fusion_rgb_multi_image_fill_in(rng, tmp_path):
+    """num_sub_img > 1 on the mesh: two image pairs whose pixel-match
+    tables each cover HALF the scene only recover the full field when the
+    per-pair channels fill-in merge (base:1940-1953) — drive with
+    coarse_matching_only_2d so coverage comes from the 2D channel alone."""
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.parallel import (
+        run_fusion3d_tiles_sharded,
+        tile_mesh,
+    )
+
+    dips, agg = _fusion_params()
+    base, tgt, shift, pix = _scene(rng, n=300)
+    # Split the matches spatially: pair 0 sees the left half (src u below
+    # the median), pair 1 the right half.
+    left = pix[:, 0] < np.median(pix[:, 0])
+    kit = {
+        "pix": [pix[left], pix[~left]],
+        "intrinsic": INTRINSIC,
+        "src_extrinsics": [EXTRINSIC, EXTRINSIC],
+        "tgt_extrinsics": [EXTRINSIC, EXTRINSIC],
+    }
+    cfg = _rgb_cfg(tmp_path, coarse_matching_only_2d=True)
+    res = run_fusion3d_tiles_sharded(
+        cfg, dips, agg, [(i, base, tgt) for i in range(8)],
+        mesh=tile_mesh(8), rng_seed=0,
+        image_kit_fn=lambda tid, s, t: kit, pix_cap=256, n_image_pairs=2,
+    )
+    got = np.loadtxt(
+        tmp_path / "run" / "results" / "c2f_dvfs_src2tgt_tile_0.txt"
+    )
+    assert got.shape[0] > 50
+    np.testing.assert_allclose(
+        got[:, 3:6] - got[:, :3],
+        np.tile(shift, (got.shape[0], 1)),
+        atol=1e-3,
+    )
+    # Both halves of the scene recovered (fill-in across the two pairs).
+    xs = got[:, 0]
+    assert (xs < np.median(base[:, 0])).sum() > 20
+    assert (xs > np.median(base[:, 0])).sum() > 20
+
+
+@needs_mesh
 def test_sharded_fusion_rgb_step_8dev_matches_1dev(rng):
     from fusion4landslide_tpu.parallel import (
         make_sharded_fusion3d_step,
