@@ -404,3 +404,73 @@ def test_fusion_fine_matching_matches_reference_oracle(rng):
     err = np.array([np.linalg.norm(ours_map[k] - ref_map[k]) for k in common])
     assert np.median(err) < 1e-3
     assert err.max() < 1e-3
+
+
+def test_fusion_fine_two_channel_weighting_matches_oracle(rng):
+    """The fusion method's two-channel fine matching (3D matches + 2D
+    pixel-lifted matches concatenated per patch, weighting_svd semantics:
+    3D rows weigh n3/(n3+n2), 2D rows the complement — base:3273-3296)
+    against a direct numpy port of the weighted Kabsch fit. ICP is
+    disabled (icp_max_iter=0) so the weighted seed IS the result — with
+    ICP on, both weightings converge to the same unweighted fixed point
+    (the re-association replaces the correspondences), which the existing
+    single-channel oracle already covers."""
+    from fusion4landslide_tpu.pipelines.fusion import fine_match_pairs
+
+    P = 40
+    src_patch = rng.uniform(0, 3, size=(P, 3)).astype(np.float32)
+    shift = np.array([0.04, -0.01, 0.02], np.float32)
+    bias = np.array([0.01, 0.01, 0.0], np.float32)
+    # Target cloud: true counterparts (the 3D channel) followed by
+    # systematically biased counterparts (the 2D channel's targets), so
+    # the weighted and unweighted fits measurably differ.
+    tgt_pts = np.vstack(
+        [src_patch + shift, src_patch + shift + bias]
+    ).astype(np.float32)
+    src_pts = src_patch
+    members = np.arange(P, dtype=np.int32)[None, :]  # one pair
+    lab_t = np.zeros(2 * P, np.int32)
+
+    # Channel 1 (3D): first 24 members matched to their true targets.
+    c1 = np.zeros(P, np.int32)
+    v1 = np.zeros(P, bool)
+    c1[:24] = np.arange(24)
+    v1[:24] = True
+    # Channel 2 (2D): last 28 members matched to the biased targets.
+    c2 = np.zeros(P, np.int32)
+    v2 = np.zeros(P, bool)
+    c2[12:] = P + np.arange(12, P)
+    v2[12:] = True
+
+    def run(weighting):
+        return fine_match_pairs(
+            members,
+            np.ones((1, P), bool),
+            np.zeros(1, np.int32),
+            c1, v1, lab_t, src_pts, tgt_pts,
+            corres2_tgt_idx=c2, corres2_valid=v2, weighting=weighting,
+            num_min_quality=10, thres_dist_diff=0.5,
+            thres_inlier_ratio=0.15, num_min_fine=10, icp_threshold=0.1,
+            icp_max_iter=0,
+        )
+
+    res = run(True)
+    assert bool(np.asarray(res.valid)[0])
+
+    # Numpy oracle: weighted Kabsch over the concatenated matched rows.
+    rows_s = np.vstack([src_pts[v1], src_pts[v2]])
+    rows_t = np.vstack([tgt_pts[c1[v1]], tgt_pts[c2[v2]]])
+    n3, n2 = int(v1.sum()), int(v2.sum())
+    w3 = n3 / (n3 + n2)
+    wts = np.concatenate([np.full(n3, w3), np.full(n2, 1.0 - w3)])
+    R, t = _kabsch_np(rows_s, rows_t, wts)
+    np.testing.assert_allclose(np.asarray(res.R)[0], R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.t)[0], t, atol=1e-4)
+
+    # Unweighted matches ITS oracle and differs from the weighted fit —
+    # guards against the flag being a no-op.
+    res_u = run(False)
+    R_u, t_u = _kabsch_np(rows_s, rows_t)
+    np.testing.assert_allclose(np.asarray(res_u.R)[0], R_u, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_u.t)[0], t_u, atol=1e-4)
+    assert np.linalg.norm(t_u - t) > 1e-4
