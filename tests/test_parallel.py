@@ -56,6 +56,7 @@ def _tiles(rng, tiles=8, n_pts=96):
 
 
 @needs_mesh
+@pytest.mark.slow  # the driver runs dryrun_multichip itself every round
 def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, "/root/repo")
     try:
