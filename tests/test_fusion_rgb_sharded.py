@@ -298,6 +298,51 @@ def test_sharded_fusion_rgb_multi_image_fill_in(rng, tmp_path):
 
 
 @needs_mesh
+def test_sharded_fusion_rgb_with_superpoint_partitions(rng, tmp_path):
+    """The flagship fusion_brienz combination: partition_type=superpoint
+    (host-generated per-point labels fed into the step) together with the
+    RGB 2D-match channel, both through the sharded runner."""
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.parallel import (
+        run_fusion3d_tiles_sharded,
+        tile_mesh,
+    )
+
+    dips, agg = _fusion_params()
+    base, tgt, shift, pix = _scene(rng)
+    tiles = [(i, base, tgt) for i in range(8)]
+    kit = {
+        "pix": [pix],
+        "intrinsic": INTRINSIC,
+        "src_extrinsics": [EXTRINSIC],
+        "tgt_extrinsics": [EXTRINSIC],
+    }
+    cfg = _rgb_cfg(
+        tmp_path,
+        partition_type="superpoint",
+        level_of_superpoint=[1, 2],
+        sv_cap=64,
+        member_cap=64,
+    )
+    res = run_fusion3d_tiles_sharded(
+        cfg, dips, agg, tiles, mesh=tile_mesh(8), rng_seed=0,
+        image_kit_fn=lambda tid, s, t: kit, pix_cap=256, n_image_pairs=1,
+    )
+    assert set(res) == set(range(8))
+    part = tmp_path / "run" / "superpoint_partition"
+    assert (part / "partition_of_input_src_tile_2.txt").exists()
+    got = np.loadtxt(
+        tmp_path / "run" / "results" / "c2f_dvfs_src2tgt_tile_2.txt"
+    )
+    assert got.shape[0] > 50
+    np.testing.assert_allclose(
+        got[:, 3:6] - got[:, :3],
+        np.tile(shift, (got.shape[0], 1)),
+        atol=1e-3,
+    )
+
+
+@needs_mesh
 def test_sharded_fusion_rgb_step_8dev_matches_1dev(rng):
     from fusion4landslide_tpu.parallel import (
         make_sharded_fusion3d_step,
