@@ -638,12 +638,18 @@ def run_fusion3d_tiles_sharded(
                 )
             if logger:
                 logger.info(
-                    "tile %s (sharded fusion_3d): %.1f%% of src points "
-                    "assigned, %d/%d voxels",
+                    "tile %s (sharded fusion%s): %.1f%% of src points "
+                    "assigned, %d/%d voxels%s",
                     tile_id,
+                    " rgb+3d" if with_image else "_3d",
                     100.0 * float(valid.mean()) if n else 0.0,
                     int(out.n_vox_src[i]),
                     n,
+                    (
+                        f", {int(out.n_c2d[i])} lifted 2D matches"
+                        if with_image
+                        else ""
+                    ),
                 )
             results[tile_id] = {
                 "dvfs": dvfs_dense,

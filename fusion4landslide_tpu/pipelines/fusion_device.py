@@ -332,6 +332,7 @@ class Fusion3DTileResult(NamedTuple):
     n_vox_src: jax.Array  # ()
     n_vox_tgt: jax.Array  # ()
     n_dropped: jax.Array  # () voxels lost to the static supervoxel caps
+    n_c2d: jax.Array  # () src voxels with a lifted 2D match (0 if no RGB)
 
 
 @functools.partial(
@@ -904,4 +905,9 @@ def fusion3d_tile_step(
         n_vox_src=s_nv,
         n_vox_tgt=t_nv,
         n_dropped=n_dropped,
+        n_c2d=(
+            jnp.sum(c2d_ok & vvalid_s)
+            if with_2d
+            else jnp.zeros((), jnp.int32)
+        ),
     )
