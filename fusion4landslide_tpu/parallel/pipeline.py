@@ -438,6 +438,7 @@ def run_fusion3d_tiles_sharded(
             matches_2d_mode=mode_2d,
             coarse_2d_mode=coarse_2d,
             fine_2d_mode=fine_2d,
+            extra_pair_cap=int(cfg.get("extra_pair_cap", 0)),
             weighting_svd=bool(cfg.get("weighting_svd", False)),
         )
     step = make_sharded_fusion3d_step(
