@@ -413,12 +413,6 @@ def run_fusion3d_tiles_sharded(
     if with_image:
         if pix_cap is None:
             raise ValueError("image_kit_fn requires pix_cap")
-        if str(cfg.get("lifting_type", "nn_search")) == "interpolation":
-            raise ValueError(
-                "lifting_type=interpolation (depth-map lifting) is "
-                "host-path only; use the serial tile loop "
-                "(use_mesh: false) or lifting_type: nn_search"
-            )
         mode_2d = str(cfg.get("matches_from_2d_type", "nn_src_only"))
         if mode_2d == "nn_src_with_tgt_for_visualize":
             mode_2d = "nn_src_only"
@@ -435,6 +429,7 @@ def run_fusion3d_tiles_sharded(
         statics.update(
             image_size=tuple(int(v) for v in cfg["image_size"]),
             v_flip=str(cfg.get("dataset", "")).lower() != "rockfall_simulator",
+            lifting=str(cfg.get("lifting_type", "nn_search")),
             matches_2d_mode=mode_2d,
             coarse_2d_mode=coarse_2d,
             fine_2d_mode=fine_2d,

@@ -273,6 +273,69 @@ def _chain_2d_device(uv_s, pv_s, uv_t, pv_t, pix, pmask, thr, mode):
     )
 
 
+def _lift_2d_device(
+    s_cent, vvalid_s, t_cent, vvalid_t,
+    uv_s, dep_s, pv_s, uv_t, dep_t, pv_t,
+    pix, pmask, sext, text, K, ctr, median_res,
+    image_size, v_flip,
+):
+    """Depth-map interpolation lifting (``lifting_type: interpolation``)
+    on device: rasterize the projected voxel clouds into per-pair
+    z-buffers (base:1436-1443), look up depth at each pixel-match
+    endpoint (base:320-384, the executed 'single_closest' path),
+    back-project through K^-1 + the inverse extrinsic (base:664-728),
+    then associate each lifted endpoint to its nearest voxel within
+    ``2 * median_res`` — the same association the host path applies
+    (pipelines/fusion.py). Duplicate source voxels keep the LAST valid
+    match row (the host path's numpy fancy-assignment semantics).
+
+    Returns (t2d (N,), ok (N,)).
+    """
+    from fusion4landslide_tpu.image.geometry import (
+        bilinear_depth,
+        lift_pixels_to_world,
+        rasterize_depth,
+    )
+    from fusion4landslide_tpu.ops.hashgrid import knn_grid_traced
+
+    dmap_s, _ = rasterize_depth(uv_s, dep_s, pv_s, image_size)
+    dmap_t, _ = rasterize_depth(uv_t, dep_t, pv_t, image_size)
+    d_s, ok_s = bilinear_depth(dmap_s, pix[:, 0:2])
+    d_t, ok_t = bilinear_depth(dmap_t, pix[:, 2:4])
+    ok3 = pmask & ok_s & ok_t
+    p_s = lift_pixels_to_world(
+        pix[:, 0:2], d_s, sext, K, image_size, v_flip=v_flip
+    ) - ctr
+    p_t = lift_pixels_to_world(
+        pix[:, 2:4], d_t, text, K, image_size, v_flip=v_flip
+    ) - ctr
+    thr3 = 2.0 * jnp.maximum(median_res, 1e-6)
+    ds2, i_s = knn_grid_traced(
+        p_s, s_cent, 1, r0=thr3, ref_mask=vvalid_s, query_mask=ok3,
+        r_max=thr3 * 1.001, max_doublings=1,
+    )
+    dt2, i_t = knn_grid_traced(
+        p_t, t_cent, 1, r0=thr3, ref_mask=vvalid_t, query_mask=ok3,
+        r_max=thr3 * 1.001, max_doublings=1,
+    )
+    thr3_sq = thr3 * thr3
+    ok = (
+        ok3
+        & jnp.isfinite(ds2[:, 0]) & (ds2[:, 0] < thr3_sq)
+        & jnp.isfinite(dt2[:, 0]) & (dt2[:, 0] < thr3_sq)
+    )
+    N = s_cent.shape[0]
+    P = pix.shape[0]
+    rows = jnp.arange(P, dtype=jnp.int32)
+    win = (
+        jnp.full((N,), -1, jnp.int32)
+        .at[jnp.where(ok, i_s[:, 0], N)]
+        .max(rows, mode="drop")
+    )
+    t2d = jnp.take(i_t[:, 0].astype(jnp.int32), jnp.clip(win, 0, P - 1))
+    return t2d, win >= 0
+
+
 def _vote_2d_device(lab_s, lab_t, c2d_idx, c2d_valid, n_lab: int):
     """Majority vote of per-voxel 2D matches into target superpoints
     (base:3019-3070), the traced equivalent of
@@ -360,6 +423,7 @@ class Fusion3DTileResult(NamedTuple):
         "sample_priority",
         "image_size",
         "v_flip",
+        "lifting",
         "matches_2d_mode",
         "coarse_2d_mode",
         "fine_2d_mode",
@@ -414,6 +478,7 @@ def fusion3d_tile_step(
     sample_priority: str = "knn",
     image_size: tuple[int, int] | None = None,
     v_flip: bool = True,
+    lifting: str = "nn_search",
     matches_2d_mode: str = "nn_src_only",
     coarse_2d_mode: str = "fusion",
     fine_2d_mode: str = "fusion",
@@ -428,8 +493,11 @@ def fusion3d_tile_step(
     ``intrinsic``/``src_extrinsics``/``tgt_extrinsics``/``center`` inputs
     provided, the step additionally runs the RGB 2D-match channel of the
     flagship fusion method (use_2d_matches=True): per image pair, project
-    the voxel clouds (base:1353-1449), chain the dense pixel matches to 3D
-    voxel correspondences (base:387-470), fill-in-merge across pairs
+    the voxel clouds (base:1353-1449), lift the dense pixel matches to 3D
+    voxel correspondences — ``lifting='nn_search'`` chains them through
+    pixel-space 1-NN (base:387-470), ``lifting='interpolation'`` lifts
+    through rasterized depth maps + K^-1 (base:664-728) — then
+    fill-in-merge across pairs
     (base:1940-1953) and magnitude-gate (base:1640-1646); then fuse at the
     coarse stage as superpoint majority votes unioned with the 3D mutual
     matches (base:3019-3146) and at the fine stage as a second
@@ -498,6 +566,11 @@ def fusion3d_tile_step(
     # chain pixels → voxels, fill-in-merge across pairs, magnitude-gate.
     with_2d = image_size is not None and pix_matches is not None
     if with_2d:
+        if lifting not in ("nn_search", "interpolation"):
+            raise ValueError(
+                f"unknown lifting_type '{lifting}' "
+                "(nn_search | interpolation)"
+            )
         ip_count = pix_matches.shape[0]
         ctr = jnp.zeros((3,), f32) if center is None else center.astype(f32)
         thr_px = jnp.asarray(pixel_thres, f32)
@@ -505,21 +578,30 @@ def fusion3d_tile_step(
         c2d_idx = jnp.zeros((N,), jnp.int32)
         c2d_ok = jnp.zeros((N,), bool)
         for ipair in range(ip_count):
-            uv_s, _, pval_s = project_points(
+            uv_s, dep_s, pval_s = project_points(
                 s_cent + ctr, src_extrinsics[ipair], intrinsic,
                 image_size, mask=vvalid_s, v_flip=v_flip,
             )
-            uv_t, _, pval_t = project_points(
+            uv_t, dep_t, pval_t = project_points(
                 t_cent + ctr, tgt_extrinsics[ipair], intrinsic,
                 image_size, mask=vvalid_t, v_flip=v_flip,
             )
             pmask = (
                 jnp.arange(pix_matches.shape[1]) < pix_count[ipair]
             )
-            t2d, v2d = _chain_2d_device(
-                uv_s, pval_s, uv_t, pval_t, pix_matches[ipair], pmask,
-                thr_px, matches_2d_mode,
-            )
+            if lifting == "interpolation":
+                t2d, v2d = _lift_2d_device(
+                    s_cent, vvalid_s, t_cent, vvalid_t,
+                    uv_s, dep_s, pval_s, uv_t, dep_t, pval_t,
+                    pix_matches[ipair], pmask,
+                    src_extrinsics[ipair], tgt_extrinsics[ipair],
+                    intrinsic, ctr, median_res, image_size, v_flip,
+                )
+            else:
+                t2d, v2d = _chain_2d_device(
+                    uv_s, pval_s, uv_t, pval_t, pix_matches[ipair], pmask,
+                    thr_px, matches_2d_mode,
+                )
             t2d = t2d.astype(jnp.int32)
             mag2 = jnp.sum(
                 (jnp.take(t_cent, t2d, axis=0) - s_cent) ** 2, axis=1

@@ -188,12 +188,14 @@ def test_sharded_fusion_rgb_recovers_shift(rng, tmp_path, coarse_only_2d):
 
 
 @needs_mesh
-def test_sharded_fusion_rgb_matches_host_tile(rng, tmp_path):
+@pytest.mark.parametrize("lifting", ["nn_search", "interpolation"])
+def test_sharded_fusion_rgb_matches_host_tile(rng, tmp_path, lifting):
     """Mesh on/off consistency for the full RGB+3D method: the sharded
     runner and the serial host tile produce the same displacement field
     (both consume the same injected pixel matches; the device path's
     grid-bounded pixel NN and deterministic pair-union are equivalent on
-    a clean scene)."""
+    a clean scene). Covers both lifting types: pixel-space NN chaining
+    (nn_search) and depth-map interpolation lifting (base:664-728)."""
     from fusion4landslide_tpu.config import Config
     from fusion4landslide_tpu.parallel import (
         run_fusion3d_tiles_sharded,
@@ -215,6 +217,7 @@ def test_sharded_fusion_rgb_matches_host_tile(rng, tmp_path):
         "image_size": list(IMAGE_SIZE),
         "pixel_thres": 5.0,
         "dataset": "brienz_tls",
+        "lifting_type": lifting,
     }
     host_cfg = dict(
         common, output_dir=str(tmp_path), output_folder="host"
