@@ -96,7 +96,10 @@ def refine_supervoxels_rigid(
         tgt_m = jnp.take(tgt_match_pts, mem, axis=0)
         n_match = jnp.sum(mv)
         R0, t0, res, _ = weighted_kabsch(src_m, tgt_m, mv.astype(src_m.dtype))
-        # Residual prune at 2.5x median (rgb_guided.py:99-133).
+        # Residual prune at 2.5x median (rgb_guided.py:99-133) feeds the
+        # quality flag only; the reference runs ICP over ALL matched rows
+        # ("but now do it for all pts", rgb_guided.py:1016-1021) and lets
+        # the ICP distance threshold reject outliers per iteration.
         big = jnp.asarray(jnp.inf, res.dtype)
         rs = jnp.sort(jnp.where(mv, res, big))
         med = rs[jnp.maximum((jnp.sum(mv) - 1) // 2, 0)]
@@ -107,8 +110,8 @@ def refine_supervoxels_rigid(
             src_m,
             tgt_m,
             icp_threshold,
-            src_mask=inlier,
-            tgt_mask=inlier,
+            src_mask=mv,
+            tgt_mask=mv,
             max_iter=icp_max_iter,
             R_init=R0,
             t_init=t0,

@@ -474,3 +474,83 @@ def test_fusion_fine_two_channel_weighting_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(res_u.R)[0], R_u, atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_u.t)[0], t_u, atol=1e-4)
     assert np.linalg.norm(t_u - t) > 1e-4
+
+
+def _oracle_rgb_refinement(src_m, tgt_m, icp_threshold):
+    """Faithful numpy port of the reference rgb_guided per-supervoxel
+    refinement (rgb_guided.py:981-1047 + refine_local_rigid_correspondences
+    :99-133): uniform-weight SVD over the patch's matched rows, residual
+    prune at 2.5x the (lower) median feeding ONLY the >=70%-inlier quality
+    flag, then point2point ICP over ALL matched rows ("but now do it for
+    all pts", :1016-1021) initialised from the SVD fit.
+
+    Returns (R, t, quality).
+    """
+    R0, t0 = _kabsch_np(src_m, tgt_m)
+    res = np.linalg.norm(src_m @ R0.T + t0 - tgt_m, axis=1)
+    med = np.sort(res)[(len(res) - 1) // 2]  # torch.median = lower median
+    mask = res < 2.5 * med
+    quality = mask.sum() / len(res) >= 0.70
+    R, t, _, _ = _icp_p2p_np(src_m, tgt_m, icp_threshold, R0, t0)
+    return R, t, quality
+
+
+def test_rgb_refinement_matches_reference_oracle(rng):
+    """refine_supervoxels_rigid (the rgb_guided pipeline's vmapped
+    per-supervoxel SVD + median prune + ICP) against the numpy reference
+    port: per-supervoxel transforms agree to numerical noise and the
+    quality flag agrees exactly — including a contaminated patch whose
+    outliers drag it below the 70% inlier bar."""
+    from fusion4landslide_tpu.pipelines.rgb_guided import (
+        refine_supervoxels_rigid,
+    )
+
+    P = 60
+    clean = rng.uniform(0, 3, size=(P, 3)).astype(np.float32)
+    dirty = rng.uniform(5, 8, size=(P, 3)).astype(np.float32)
+    src_pts = np.vstack([clean, dirty]).astype(np.float32)
+    shift1 = np.array([0.03, -0.02, 0.01], np.float32)
+    shift2 = np.array([-0.04, 0.01, 0.02], np.float32)
+    tgt = np.vstack([clean + shift1, dirty + shift2]).astype(np.float32)
+    tgt += rng.normal(scale=5e-4, size=tgt.shape).astype(np.float32)
+    # Contaminate 40% of the dirty patch's matches with gross ISOTROPIC
+    # outliers (a shared-direction offset would just drag the fit and keep
+    # every residual within 2.5x the median): the SVD fit stays near the
+    # clean majority, the outliers fail the 2.5x-median prune, and the
+    # patch lands below the 70% inlier quality bar — while ICP's distance
+    # threshold still recovers the dominant rigid motion.
+    n_bad = int(0.4 * P)
+    bad = rng.choice(P, size=n_bad, replace=False)
+    tgt[P + bad] += rng.normal(scale=0.6, size=(n_bad, 3)).astype(np.float32)
+
+    matched = np.ones(2 * P, bool)
+    matched[5] = False  # one unmatched member exercises the mask path
+    members = np.stack([np.arange(P), np.arange(P, 2 * P)]).astype(np.int32)
+    icp_thr = 0.1
+
+    res = refine_supervoxels_rigid(
+        members,
+        np.ones((2, P), bool),
+        matched,
+        src_pts,
+        tgt,
+        icp_threshold=icp_thr,
+    )
+
+    for pi in range(2):
+        rows = members[pi][matched[members[pi]]]
+        R, t, quality = _oracle_rgb_refinement(
+            src_pts[rows], tgt[rows], icp_thr
+        )
+        assert bool(np.asarray(res.quality)[pi]) == bool(quality), pi
+        np.testing.assert_allclose(np.asarray(res.R)[pi], R, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.t)[pi], t, atol=1e-4)
+        # Field agreement on the patch — the <1 mm north star.
+        moved_ours = src_pts[rows] @ np.asarray(res.R)[pi].T + np.asarray(
+            res.t
+        )[pi]
+        moved_ref = src_pts[rows] @ R.T + t
+        err = np.linalg.norm(moved_ours - moved_ref, axis=1)
+        assert np.median(err) < 1e-3 and err.max() < 1e-3
+    assert bool(np.asarray(res.quality)[0])
+    assert not bool(np.asarray(res.quality)[1])
