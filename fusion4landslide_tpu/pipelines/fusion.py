@@ -223,10 +223,39 @@ def aggregate_superpoints(
     pad_s = (-S) % c
     fp = jnp.pad(feats, ((0, pad_s), (0, 0), (0, 0)))
     mp = jnp.pad(mmask_a, ((0, pad_s), (0, 0)))
-    out = jax.lax.map(
-        lambda args: model.apply(agg_params, *args),
-        (fp.reshape(-1, c, *fp.shape[1:]), mp.reshape(-1, c, mp.shape[1])),
+    fpc = fp.reshape(-1, c, *fp.shape[1:])
+    mpc = mp.reshape(-1, c, mp.shape[1])
+    nc = fpc.shape[0]
+
+    def one(args):
+        return model.apply(agg_params, *args)
+
+    # Empty-slot skipping (features of all-false-mask slots are never
+    # consumed — the coarse matcher masks them to +inf): one lax.cond per
+    # group of chunks, the DIPs padding-skip pattern (f2s3.py:94-121).
+    probe = jax.eval_shape(
+        one,
+        jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), (fpc, mpc)
+        ),
     )
+    chunk_live = jnp.any(mpc, axis=(1, 2))
+    gsize = -(-nc // min(4, nc))
+    outs = []
+    start = 0
+    while start < nc:
+        end = min(nc, start + gsize)
+        g = end - start
+        outs.append(
+            jax.lax.cond(
+                jnp.any(chunk_live[start:end]),
+                lambda s: jax.lax.map(one, s),
+                lambda s, g=g: jnp.zeros((g,) + probe.shape, probe.dtype),
+                (fpc[start:end], mpc[start:end]),
+            )
+        )
+        start = end
+    out = jnp.concatenate(outs, axis=0)
     spt_feat = out.reshape(-1, out.shape[-1])[:S]
     w = mmask.astype(coords.dtype)[..., None]
     cent = jnp.sum(jnp.take(coords, mem, axis=0) * w, axis=1) / jnp.maximum(
@@ -291,6 +320,11 @@ def fine_match_pairs(
     robust statistic — at the production cap of 128 the estimate is within
     a few percent of the full O(F^2) computation, measured ~25% of the
     whole fine stage).
+
+    Dead pairs (label -1 or empty member mask) are skipped in cond-gated
+    chunk groups; this is exact provided ``num_min_fine >= 1`` (a zero
+    minimum would declare a zero-match pair "valid", which no caller and
+    no reference config does).
     """
     Pairs, P = src_members.shape
     fusion2 = corres2_tgt_idx is not None
@@ -412,13 +446,51 @@ def fine_match_pairs(
     mm = jnp.pad(src_member_mask, ((0, pad), (0, 0)))
     pl = jnp.pad(pair_tgt_label, (0, pad), constant_values=-1)
     nc = sm.shape[0] // pair_chunk
-    R, t, rmse, valid, n_match = jax.lax.map(
-        chunk_fn,
-        (
-            sm.reshape(nc, pair_chunk, P),
-            mm.reshape(nc, pair_chunk, P),
-            pl.reshape(nc, pair_chunk),
-        ),
+    smc = sm.reshape(nc, pair_chunk, P)
+    mmc = mm.reshape(nc, pair_chunk, P)
+    plc = pl.reshape(nc, pair_chunk)
+
+    # Dead-pair skipping: a pair with label -1 or an empty member mask
+    # solves to exactly (I, 0, rmse 0, valid False, 0 matches) — see the
+    # degenerate-Kabsch/ICP fallbacks — and at production caps MOST slots
+    # are dead (sv_cap bounds the worst case; real supervoxel counts run
+    # ~4x lower, and the mutual coarse matcher invalidates more). Groups
+    # of chunks with no live pair skip the solve entirely — one lax.cond
+    # per GROUP, not per chunk, the pattern proven by the DIPs
+    # padding-skip (pipelines/f2s3.py:94-121; a per-chunk cond inside the
+    # nested tile maps blew XLA compile time ~4x there).
+    f32 = src_vox.dtype
+    chunk_live = jnp.any((plc >= 0) & jnp.any(mmc, axis=-1), axis=-1)
+    gsize = -(-nc // min(4, nc))
+    outs = []
+    start = 0
+    while start < nc:
+        end = min(nc, start + gsize)
+        g = end - start
+        sub = (smc[start:end], mmc[start:end], plc[start:end])
+
+        def _skip(s, g=g):
+            return (
+                jnp.broadcast_to(
+                    jnp.eye(3, dtype=f32), (g, pair_chunk, 3, 3)
+                ),
+                jnp.zeros((g, pair_chunk, 3), f32),
+                jnp.zeros((g, pair_chunk), f32),
+                jnp.zeros((g, pair_chunk), bool),
+                jnp.zeros((g, pair_chunk), jnp.int32),
+            )
+
+        outs.append(
+            jax.lax.cond(
+                jnp.any(chunk_live[start:end]),
+                lambda s: jax.lax.map(chunk_fn, s),
+                _skip,
+                sub,
+            )
+        )
+        start = end
+    R, t, rmse, valid, n_match = (
+        jnp.concatenate(parts, axis=0) for parts in zip(*outs)
     )
     return FinePairResult(
         R=R.reshape(-1, 3, 3)[:Pairs],

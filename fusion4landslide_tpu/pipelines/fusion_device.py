@@ -174,9 +174,36 @@ def _aggregate_chunked(
         feats = jnp.take(feat_arr, mic, axis=0) * mmc[..., None]
         return model.apply(agg_params, feats, mmc)
 
-    spt_feat = jax.lax.map(
-        one, (mi.reshape(nc, s_chunk, -1), mm.reshape(nc, s_chunk, -1))
-    ).reshape(-1, 64)[:S]
+    mic_all = mi.reshape(nc, s_chunk, -1)
+    mmc_all = mm.reshape(nc, s_chunk, -1)
+    # Slots past the compacted label count have all-false member masks and
+    # their features are never consumed (the coarse matcher masks them to
+    # +inf) — skip whole groups of empty chunks like the fine matcher does
+    # (one lax.cond per group; pattern from pipelines/f2s3.py:94-121).
+    probe = jax.eval_shape(
+        one,
+        jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype),
+            (mic_all, mmc_all),
+        ),
+    )
+    chunk_live = jnp.any(mmc_all, axis=(1, 2))
+    gsize = -(-nc // min(4, nc))
+    outs = []
+    start = 0
+    while start < nc:
+        end = min(nc, start + gsize)
+        g = end - start
+        outs.append(
+            jax.lax.cond(
+                jnp.any(chunk_live[start:end]),
+                lambda s: jax.lax.map(one, s),
+                lambda s, g=g: jnp.zeros((g,) + probe.shape, probe.dtype),
+                (mic_all[start:end], mmc_all[start:end]),
+            )
+        )
+        start = end
+    spt_feat = jnp.concatenate(outs, axis=0).reshape(-1, 64)[:S]
 
     # Centroid over the FULL member set (not the strided subsample).
     w = member_mask.astype(coords.dtype)[..., None]
