@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    from fusion4landslide_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
