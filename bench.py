@@ -11,19 +11,25 @@ jitted shard_map program that ``run_fusion3d_tiles_sharded`` dispatches
 magnitude gate] → multi-level supervoxel partition → attention
 aggregation → coarse mutual matching unioned with 2D majority votes →
 fine per-patch SVD+ICP over both correspondence channels → dense DVF +
-sparse re-association), on a synthetic ``BENCH_N``-point tile padded to
-its power-of-two bucket with a 4K camera pair and a dense pixel-match
-table of ``BENCH_N/2`` rows. ``BENCH_MODE=e2e3d`` measures the 3D-only
-method (use_2d_matches=False). The 50M-point epoch-pair extrapolation is
+sparse re-association), on a synthetic PRODUCTION-SHAPED tile: a core of
+``BENCH_N`` points plus its fixed ±20 m halo ring at the same density —
+the *overlap* cloud ``main_fusion.py:73`` (``list_tiles(overlap=True)``)
+actually feeds the pipeline, matching the reference's unit of work
+(/root/reference/main_fusion.py:128-144, halo pcd_tiling.cpp:297-301) —
+padded to its bucket, with a 4K camera pair and a dense pixel-match
+table covering half the tile points. ``BENCH_MODE=e2e3d`` measures the
+3D-only method (use_2d_matches=False). The 50M-point epoch-pair
+extrapolation is
 
     minutes_50M_v5e8 = tile_seconds * (50e6 / BENCH_N) / 8 / 60
 
-where the ÷8 assumes the SAME sharded step running data-parallel over a
-v5e-8 ``tiles`` mesh — the execution mode this benchmark measures one
-shard of. Tiles are communication-free (±20 m halo decomposition); the
-8-device mesh execution of this exact program is validated by
-``__graft_entry__.dryrun_multichip`` and the 8-dev==1-dev parity tests
-(tests/test_parallel.py).
+i.e. the epoch splits into 50e6/BENCH_N core tiles, each paying the
+halo-inclusive step cost; the ÷8 assumes the SAME sharded step running
+data-parallel over a v5e-8 ``tiles`` mesh — the execution mode this
+benchmark measures one shard of. Tiles are communication-free (±20 m
+halo decomposition); the 8-device mesh execution of this exact program
+is validated by ``__graft_entry__.dryrun_multichip`` and the
+8-dev==1-dev parity tests (tests/test_parallel.py).
 
 ``BENCH_MODE=host``: the single-chip host-orchestrated tile path
 (``pipelines.fusion.run_fusion3d_tile``) for comparison.
@@ -40,8 +46,9 @@ of a process is compile-dominated (Mosaic kernels are not persistently
 cached).
 
 Prints exactly one JSON line.
-Env: BENCH_MODE (e2e|host|knn), BENCH_N (points per epoch; default
-100_000 e2e/host, 1_000_000 knn).
+Env: BENCH_MODE (e2e|e2e3d|host|knn), BENCH_N (e2e: CORE points per tile,
+the halo ring is added on top — default 100_000; host: tile points;
+knn: epoch points, default 1_000_000).
 """
 
 from __future__ import annotations
@@ -57,6 +64,9 @@ TARGET_MINUTES = 5.0  # BASELINE.md "Rebuild targets": < 5 min on v5e-8
 ASSUMED_CHIPS = 8
 
 
+PLANTED_SHIFT = np.array([0.05, -0.02, 0.01], np.float32)
+
+
 def synth_epoch_pair(n: int, seed: int = 0):
     """Terrain-like epoch pair with a moving region (~100 pts/m^2)."""
     rng = np.random.default_rng(seed)
@@ -68,11 +78,45 @@ def synth_epoch_pair(n: int, seed: int = 0):
         + rng.normal(scale=0.02, size=n)
     )
     src = np.column_stack([xy, z]).astype(np.float32)
-    shift = np.array([0.05, -0.02, 0.01], np.float32)
     moving = src[:, 0] > extent / 2
     tgt = src.copy()
-    tgt[moving] += shift
+    tgt[moving] += PLANTED_SHIFT
     return src, tgt, extent
+
+
+def synth_overlap_tile(
+    n_core: int, halo: float = 20.0, density: float = 100.0, seed: int = 0
+):
+    """Production-shaped tile: a core of ``n_core`` points plus its fixed
+    +-``halo``-metre ring at the same density — the *overlap* cloud that
+    ``list_tiles(cfg, overlap=True)`` feeds the pipeline at runtime
+    (main_fusion.py:73), matching the reference's unit of work
+    (/root/reference/main_fusion.py:128-144; halo from pcd_tiling.cpp:297-301).
+
+    Returns (src, tgt, core_mask, moving_mask) — moving region is one half
+    of the terrain (cuts through core and halo, as a real landslide would).
+    """
+    rng = np.random.default_rng(seed)
+    side = float(np.sqrt(n_core / density))
+    full = side + 2.0 * halo
+    n_total = int(round(density * full * full))
+    xy = rng.uniform(0, full, size=(n_total, 2))
+    z = (
+        np.sin(xy[:, 0] * 0.31) * 2.0
+        + np.cos(xy[:, 1] * 0.17) * 3.0
+        + rng.normal(scale=0.02, size=n_total)
+    )
+    src = np.column_stack([xy, z]).astype(np.float32)
+    core = (
+        (xy[:, 0] >= halo)
+        & (xy[:, 0] < halo + side)
+        & (xy[:, 1] >= halo)
+        & (xy[:, 1] < halo + side)
+    )
+    moving = src[:, 0] > full / 2
+    tgt = src.copy()
+    tgt[moving] += PLANTED_SHIFT
+    return src, tgt, core, moving
 
 
 def _keepalive():
@@ -148,13 +192,17 @@ def synth_image_channel(src: np.ndarray, tgt: np.ndarray, n_matches: int):
     return pix, K, E
 
 
-def bench_e2e(n: int, with_rgb: bool) -> dict:
-    """Warm per-tile seconds of the sharded fusion device step — the full
-    RGB+3D method (in-step 2D pixel channel, ``with_rgb=True``) or the
-    3D-only method. The per-epoch dense image matcher runs once per image
-    pair (a handful per epoch), not per tile, so its cost amortises to
-    noise over ~400 tiles; the per-tile 2D channel (projection, chaining,
-    vote union, second fine channel) is IN the measured step."""
+def bench_e2e(n_core: int, with_rgb: bool) -> dict:
+    """Warm per-tile seconds of the sharded fusion device step on a
+    PRODUCTION-SHAPED tile — a core of ``n_core`` points plus its fixed
+    +-20 m halo ring, i.e. the overlap cloud ``main_fusion.py`` actually
+    feeds per tile — running the full RGB+3D method (in-step 2D pixel
+    channel, ``with_rgb=True``) or the 3D-only method. The per-epoch
+    dense image matcher runs once per image pair (a handful per epoch),
+    not per tile, so it amortises to noise over the tile count; the
+    per-tile 2D channel (projection, chaining, vote union, second fine
+    channel) is IN the measured step. Extrapolation divides the epoch
+    into 50e6/n_core tiles, each paying the halo-inclusive step cost."""
     import jax
     import jax.numpy as jnp
 
@@ -166,7 +214,12 @@ def bench_e2e(n: int, with_rgb: bool) -> dict:
 
     stop = _keepalive()
     dips_params, agg_params = _models()
-    src, tgt, extent = synth_epoch_pair(n)
+    src, tgt, core, moving = synth_overlap_tile(
+        n_core,
+        halo=float(os.environ.get("BENCH_HALO", 20.0)),
+        density=float(os.environ.get("BENCH_DENSITY", 100.0)),
+    )
+    n = len(src)  # halo-inclusive tile points (the actual work unit)
     N = bucket_size(n)
     c = src.mean(axis=0)
     sb = np.zeros((1, N, 3), np.float32)
@@ -231,9 +284,29 @@ def bench_e2e(n: int, with_rgb: bool) -> dict:
         out = step(*args)
         v = np.asarray(out.valid)
         best = min(best, time.perf_counter() - t0)
+    moved = np.asarray(out.moved[0, :n])
     stop.set()
-    assert float(v[0, :n].mean()) > 0.5  # most points assigned
-    minutes = best * (50e6 / n) / ASSUMED_CHIPS / 60.0
+    ok = v[0, :n].astype(bool)
+    assert float(ok[core].mean()) > 0.5  # most core points assigned
+    # Self-check: the step must still recover the planted displacement
+    # field (moving half shifted by PLANTED_SHIFT, static half zero).
+    disp = moved - sb[0, :n]
+    err_mov = np.linalg.norm(
+        disp[core & moving & ok] - PLANTED_SHIFT, axis=1
+    )
+    err_sta = np.linalg.norm(disp[core & ~moving & ok], axis=1)
+    import sys
+
+    print(
+        f"# recovery: median err moving {np.median(err_mov):.2e} m, "
+        f"static {np.median(err_sta):.2e} m, core assigned "
+        f"{ok[core].mean():.3f}, tile {n} pts in bucket {N}, "
+        f"best {best:.3f} s",
+        file=sys.stderr,
+    )
+    assert float(np.median(err_mov)) < 2e-3, np.median(err_mov)
+    assert float(np.median(err_sta)) < 2e-3, np.median(err_sta)
+    minutes = best * (50e6 / n_core) / ASSUMED_CHIPS / 60.0
     return {
         "metric": (
             "fusion_rgb3d_epoch_pair_50M_v5e8_extrapolated"

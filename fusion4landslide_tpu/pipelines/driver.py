@@ -122,7 +122,23 @@ def skip_completed_tiles(
     ``overwrite_results: True`` disables resume entirely. ``marker`` is the
     result filename pattern with ``{tile}``, e.g.
     ``c2f_dvfms_src2tgt_tile_{tile}.txt``.
+
+    Multi-host scale-out: tiles are communication-free (±20 m halo
+    decomposition), so epochs larger than one host's mesh shard across
+    hosts WITHOUT any DCN collective — set ``tile_shard_count: H`` and a
+    per-host ``tile_shard_index`` and each process keeps the tiles whose
+    integer id ≡ index (mod count). Hosts share nothing but the output
+    directory; the per-tile result files and this resume check make the
+    union restartable.
     """
+    count = int(cfg.get("tile_shard_count", 1) or 1)
+    if count > 1:
+        index = int(cfg.get("tile_shard_index", 0) or 0)
+        tiles = [t for t in tiles if int(t[0]) % count == index]
+        logger.info(
+            "Tile shard %d/%d: %d tile(s) owned by this host",
+            index, count, len(tiles),
+        )
     if bool(cfg.get("overwrite_results", False)):
         return tiles
     start = int(cfg.get("continue_tile", 0) or 0)

@@ -104,3 +104,27 @@ def test_resume_takes_precedence_over_tiling_type_guard(tmp_path):
     (td / "non_overlap").mkdir(parents=True)
     cfg = {"tiling_type": "hv_tiling", "tile_dir": str(td)}
     ensure_tiles(cfg, logging.getLogger("t"))  # must not raise
+
+
+def test_tile_shard_partitions_tiles(tmp_path):
+    """``tile_shard_count``/``tile_shard_index`` partition the tile list by
+    tile-id modulo — the multi-host scale-out path (tiles are
+    communication-free, so hosts share only the output directory)."""
+    import logging
+
+    from fusion4landslide_tpu.config import Config
+    from fusion4landslide_tpu.pipelines.driver import skip_completed_tiles
+
+    tiles = [(str(i), f"s{i}", f"t{i}") for i in range(10)]
+    log = logging.getLogger("t")
+    shards = []
+    for idx in range(3):
+        cfg = Config(
+            output_root=str(tmp_path),
+            tile_shard_count=3,
+            tile_shard_index=idx,
+        )
+        shards.append(skip_completed_tiles(cfg, tiles, "r_{tile}.txt", log))
+    ids = sorted(int(t[0]) for s in shards for t in s)
+    assert ids == list(range(10))  # disjoint union covers every tile
+    assert all(int(t[0]) % 3 == i for i, s in enumerate(shards) for t in s)

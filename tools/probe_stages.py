@@ -23,9 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    from fusion4landslide_tpu.utils.platform import enable_compile_cache
+    from fusion4landslide_tpu.utils.platform import apply_platform_from_env
 
-    enable_compile_cache()
+    # Honours F4L_PLATFORM and enables the compile cache, like the other
+    # entrypoints (main_*.py, bench.py).
+    apply_platform_from_env()
     import jax
     import jax.numpy as jnp
 
