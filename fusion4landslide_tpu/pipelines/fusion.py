@@ -1051,6 +1051,13 @@ def _fusion_tile_core(
             len(t_p2v)
         )[::-1][t_p2v[::-1] < t_nv]
 
+    # Opt-in interim payload (cfg return_interim: True) — feeds the composed
+    # whole-tile reference oracle (tests/test_reference_oracle.py), which
+    # re-runs the downstream reference semantics on the SAME voxels /
+    # features / labels and compares final DVF fields.
+    _keep_interim = bool(cfg.get("return_interim", False))
+    _interim_levels: list = []
+
     # Supervoxel kNN graph + PCA normals are radius-independent: build once
     # per voxel cloud, reuse across all levels (the reference re-runs the
     # full C++ segmentation per level, coarse_to_fine_matching.py:215-287).
@@ -1099,6 +1106,13 @@ def _fusion_tile_core(
                 lab_t = np.where(lab_t < num_spt, lab_t, -1)
                 n_s = min(n_s, num_spt)
                 n_t = min(n_t, num_spt)
+        if _keep_interim:
+            _interim_levels.append(
+                {"level": level, "lab_s": lab_s.copy(), "lab_t": lab_t.copy(),
+                 "raw_s": np.asarray(raw_s).copy(),
+                 "raw_t": np.asarray(raw_t).copy(),
+                 "n_s": n_s, "n_t": n_t}
+            )
         _log(f"tile {tile_id}: stage coarse+fine level {level}")
         mctx = timer.stage(f"match_l{level}")
         with mctx:
@@ -1396,7 +1410,7 @@ def _fusion_tile_core(
 
     if logger:
         logger.info("tile %s stage times:\n%s", tile_id, timer.report())
-    return {
+    out = {
         "dvfs": dvfs_dense,
         "dvfs_sparse": dvfs_sparse,
         "assigned_fraction": float(merged_valid.mean()),
@@ -1406,3 +1420,18 @@ def _fusion_tile_core(
         "valid": merged_valid,
         "n_2d_matches": int(c2d_valid.sum()) if c2d_valid is not None else 0,
     }
+    if _keep_interim:
+        out["interim"] = {
+            "center": center,
+            "median_res": median_res,
+            "src_vox": src_vox,
+            "tgt_vox": tgt_vox,
+            "s_p2v": s_p2v,
+            "t_p2v": t_p2v,
+            "src_feat": np.asarray(src_feat, np.float32),
+            "tgt_feat": np.asarray(tgt_feat, np.float32),
+            "g_idx": g_idx,
+            "g_valid": g_valid,
+            "levels": _interim_levels,
+        }
+    return out

@@ -46,8 +46,9 @@ def ref_modules():
     sys.modules.setdefault("cpp_core.pcd_tiling.build.pcd_tiling", stub)
     import src.functions as fn
     import src.models.outlier_classifier as oc
+    import src.feature_aggregation.cluster_feature_net_self_attention as agg
 
-    yield types.SimpleNamespace(fn=fn, oc=oc)
+    yield types.SimpleNamespace(fn=fn, oc=oc, agg=agg)
     sys.path.remove(REF)
 
 
@@ -554,3 +555,182 @@ def test_rgb_refinement_matches_reference_oracle(rng):
         assert np.median(err) < 1e-3 and err.max() < 1e-3
     assert bool(np.asarray(res.quality)[0])
     assert not bool(np.asarray(res.quality)[1])
+
+
+@pytest.mark.slow
+def test_fusion3d_whole_tile_matches_composed_reference_oracle(
+    ref_modules, tmp_path, rng
+):
+    """Composed WHOLE-TILE fusion_3d oracle: run the full host tile solve
+    (voxel subsample → DIPs → global-3D 1-NN → supervoxel partition →
+    aggregation → coarse mutual → fine SVD+ICP → dense assignment), then
+    re-run the reference's downstream semantics on the SAME voxels /
+    features / raw labels — feature-space 1-NN + max-magnitude gate
+    (base:2756-2885), Counter small-patch removal (base:1309-1321), the
+    SHIPPED ``feat_aggregation_3d.pth`` through the reference's own torch
+    ``ClusterFeatureNetWithAttention`` (base:2561-2656), coarse cdist +
+    max-magnitude mask + mutual NN (base:2966-2999), and the fine matcher
+    port (base:3236-3436) — and assert the final dense DVF fields agree to
+    the <1 mm north star."""
+    import jax
+
+    from fusion4landslide_tpu.models import PointNetFeature
+    from fusion4landslide_tpu.models.convert import torch_to_aggregation_params
+    from fusion4landslide_tpu.pipelines.fusion import run_fusion3d_tile
+
+    # Shipped aggregation weights through BOTH implementations.
+    ckpt = os.path.join(REF, "weights", "feat_aggregation_3d.pth")
+    raw = torch.load(ckpt, map_location="cpu")
+    sd = raw["state_dict"] if "state_dict" in raw else raw
+    agg_params = torch_to_aggregation_params(
+        {k: v.detach().numpy() for k, v in sd.items()}
+    )
+    tcfg = types.SimpleNamespace(
+        input_feat_dim=64, hidden_feat_dim=64, output_feat_dim=64, mode="test"
+    )
+    tagg = ref_modules.agg.ClusterFeatureNetWithAttention(tcfg)
+    tagg.load_state_dict(sd)
+    tagg.eval()
+
+    dips_params = PointNetFeature().init(
+        jax.random.PRNGKey(0), np.zeros((2, 32, 3), np.float32)
+    )
+    src, tgt, shift, moving = _terrain_pair(rng, 2500)
+    max_mag = 5.0
+    icp_thr = 0.1
+    small_patch = 10
+    cfg = {
+        "max_magnitude": max_mag,
+        "icp_threshold": icp_thr,
+        "level_of_superpoint": [1],
+        "num_min_fine_match": 10,
+        "num_min_matches_for_quality_check": 10,
+        "thres_dist_diff": 0.5,
+        "thres_inlier_ratio": 0.15,
+        "num_min_matches_for_small_patch": small_patch,
+        "voxel_size_init": 0.1,
+        "assign_type": "assign_then_nn",
+        "output_tgt2src": False,
+        "save_interim": False,
+        "return_interim": True,
+        "feat_k_max": 64,
+        "feat_patch_points": 64,
+        "output_dir": str(tmp_path),
+        "output_folder": "run",
+        "dataset": "brienz_tls",
+    }
+    out = run_fusion3d_tile(cfg, dips_params, agg_params, src, tgt, tile_id=0)
+    it = out["interim"]
+    src_vox, tgt_vox = it["src_vox"], it["tgt_vox"]
+    f_s = it["src_feat"].astype(np.float64)
+    f_t = it["tgt_feat"].astype(np.float64)
+
+    # --- Oracle 1: global 3D matches — feature 1-NN + magnitude gate.
+    d2 = ((f_s[:, None, :] - f_t[None, :, :]) ** 2).sum(-1)
+    nn = d2.argmin(axis=1)
+    mag = np.linalg.norm(tgt_vox[nn] - src_vox, axis=1)
+    g_valid_o = mag <= max_mag
+    g_idx_o = np.where(g_valid_o, nn, -1)
+    agree = (g_idx_o == np.where(it["g_valid"], it["g_idx"], -1)).mean()
+    assert agree > 0.99  # identical up to feature-distance ties
+
+    # --- Oracle 2: small-patch removal (Counter > num_min, base:1309-1321)
+    # on the SAME raw labels, then per-spt member lists.
+    lvl = it["levels"][0]
+
+    def members_of(raw):
+        counts = {}
+        for lab in raw:
+            if lab >= 0:
+                counts[lab] = counts.get(lab, 0) + 1
+        keep = sorted(k for k, c in counts.items() if c > small_patch)
+        return [np.where(raw == k)[0] for k in keep]
+
+    mem_s = members_of(lvl["raw_s"])
+    mem_t = members_of(lvl["raw_t"])
+    assert len(mem_s) == lvl["n_s"] and len(mem_t) == lvl["n_t"]
+
+    # --- Oracle 3: shipped aggregation through the reference torch module
+    # (test mode, pts == voxels so idx_pts2voxel is the identity).
+    def ref_aggregate(mem, feats, coords):
+        with torch.no_grad():
+            f, c = tagg.aggregation(
+                [torch.from_numpy(m) for m in mem],
+                torch.from_numpy(feats.astype(np.float32))[None],
+                torch.from_numpy(coords.astype(np.float32))[None],
+                idx_pts2voxel_src=torch.arange(len(feats)),
+            )
+        return f.numpy().astype(np.float64), c.numpy().astype(np.float64)
+
+    sf, sc = ref_aggregate(mem_s, it["src_feat"], src_vox)
+    tf, tc = ref_aggregate(mem_t, it["tgt_feat"], tgt_vox)
+
+    # --- Oracle 4: coarse cdist + max-magnitude mask + mutual NN
+    # (base:2966-2999).
+    dist_coord = np.linalg.norm(sc[:, None] - tc[None], axis=-1)
+    dist_feat = np.linalg.norm(sf[:, None] - tf[None], axis=-1)
+    dist_feat[dist_coord > max_mag] = np.inf
+    tgt_of_src = dist_feat.argmin(axis=1)
+    src_of_tgt = dist_feat.argmin(axis=0)
+    best = dist_feat[np.arange(len(sf)), tgt_of_src]
+    mask = np.isfinite(best) & (
+        src_of_tgt[tgt_of_src] == np.arange(len(sf))
+    )
+    pairs = [(i, tgt_of_src[i]) for i in np.where(mask)[0]]
+    assert len(pairs) > 5
+
+    # --- Oracle 5: fine matching (SVD + p2p ICP + dense assignment).
+    _, _, pairs_ref = _oracle_fine_matching(
+        src_vox,
+        tgt_vox,
+        [mem_s[i] for i, _ in pairs],
+        [mem_t[j] for _, j in pairs],
+        g_idx_o,
+        num_min_quality=10,
+        thres_dd=0.5,
+        thres_ir=0.15,
+        num_min_fine=10,
+        icp_threshold=icp_thr,
+        median_res=it["median_res"],
+    )
+
+    # Oracle dense field: the patch transform applies to ALL the patch's
+    # POINTS (base:3371-3380) — expand per-voxel membership to points
+    # through the pipeline's own point→voxel map.
+    center = it["center"]
+    s_p2v = it["s_p2v"]
+    s_cent = (src - center).astype(np.float32)
+    n_vox = len(src_vox)
+    vox_T = [None] * n_vox
+    for pi, R, t, _ in pairs_ref:
+        for v in mem_s[pairs[pi][0]]:
+            vox_T[v] = (R, t)
+    rows = []
+    for p in range(len(src)):
+        v = s_p2v[p]
+        if v < n_vox and vox_T[v] is not None:
+            R, t = vox_T[v]
+            moved = s_cent[p] @ R.T + t
+            rows.append(np.concatenate([src[p], moved + center]))
+    ref_table = np.asarray(rows)
+
+    ours = out["dvfs"]
+    assert ours.shape[0] > 1000
+    ours_map = _disp_map(ours)
+    ref_map = _disp_map(ref_table)
+    common = set(ours_map) & set(ref_map)
+    # The same points survive end-to-end up to knife-edge gate/tie flips.
+    assert len(common) > 0.95 * max(len(ours_map), len(ref_map))
+    err = np.array([
+        np.linalg.norm(ours_map[k] - ref_map[k]) for k in common
+    ])
+    assert np.median(err) < 1e-3  # the <1 mm north star
+    assert np.median(err) < 1e-5  # actual agreement is numerical noise
+
+    # And the field is the planted one on the moving half.
+    disp = ours[:, 3:6] - ours[:, :3]
+    mov_rows = ours[:, 0] > src[:, 0].mean() + 0.5
+    if mov_rows.sum() > 100:
+        np.testing.assert_allclose(
+            np.median(disp[mov_rows], axis=0), shift, atol=2e-3
+        )
