@@ -89,6 +89,11 @@ def ensure_tiles(cfg: Config, logger) -> None:
         -1,
         cfg.tile_dir,
         verbose=bool(cfg.get("verbose", True)),
+        # Reference parity: fixed ±20 m (pcd_tiling.cpp:297-301). A smaller
+        # halo is sound when max_magnitude is small — the target halo only
+        # has to cover the largest admissible displacement plus patch
+        # context — so it is exposed as a config knob.
+        halo=float(cfg.get("tile_halo", 20.0)),
     )
     logger.info("Tiled into %d tiles in %.1fs", n, time.time() - t0)
 

@@ -212,6 +212,7 @@ def tile_point_clouds(
     proj_dir: int,
     save_dir: str,
     verbose: bool = False,
+    halo: float = HALO_M,
 ) -> int:
     """File-level API matching the reference SWIG entry point
     (cpp_core/pcd_tiling/pcd_tiling.h:3-12): reads two PLYs, writes
@@ -230,6 +231,7 @@ def tile_point_clouds(
         min_pts,
         voxel_size=(voxel_size if voxel_flag else None),
         proj_dir=(None if proj_dir == -1 else proj_dir),
+        halo=halo,
         src_colors=s.colors,
         tgt_colors=t.colors,
     )

@@ -76,7 +76,10 @@ def main() -> None:
     import jax
 
     use_mesh = cfg.get("use_mesh", "auto")
-    if use_mesh == "auto":
+    if not tiles:
+        # Fully-resumed (or empty) run: nothing to shard.
+        use_mesh = False
+    elif use_mesh == "auto":
         use_mesh = jax.device_count() > 1 and len(tiles) > 1
     if use_mesh:
         # Multi-chip path: tiles sharded over the device mesh, each chip

@@ -160,7 +160,11 @@ def main() -> None:
 
     use_mesh = cfg.get("use_mesh", "auto")
     has_rgb = image_kit is not None or image_candidates is not None
-    if use_mesh == "auto":
+    if not tiles:
+        # Nothing to do (fresh run over an empty epoch, or a fully-resumed
+        # run where every tile's result file exists).
+        use_mesh = False
+    elif use_mesh == "auto":
         # Superpoint partitions are generated host-side and fed into the
         # sharded step as per-point label inputs; the RGB 2D-match channel
         # runs inside the device step from per-tile pixel-match tables —

@@ -139,7 +139,8 @@ data:
 method:
   tiling_type: xy_tiling
   max_pts_per_tile: {max_pts}
-  min_pts_per_tile: 5000
+  min_pts_per_tile: {min_pts}
+  tile_halo: {halo}
   voxel_size_init: 0.1
   use_2d_matches: {use_2d}
   img_matching_type: eloftr
@@ -199,6 +200,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2_500_000)
     ap.add_argument("--max-pts", type=int, default=131072)
+    ap.add_argument("--halo", type=float, default=20.0)
     ap.add_argument("--workdir", default="/tmp/f4l_dress")
     ap.add_argument("--no-2d", action="store_true")
     ap.add_argument("--image-size", type=int, nargs=2, default=[1920, 2560])
@@ -233,6 +235,8 @@ def main() -> None:
                 output_dir=osp.join(workdir, "output"),
                 weight_dir=wdir,
                 max_pts=args.max_pts,
+                min_pts=min(5000, max(2, args.max_pts // 4)),
+                halo=args.halo,
                 use_2d=use_2d,
                 ih=args.image_size[0],
                 iw=args.image_size[1],
