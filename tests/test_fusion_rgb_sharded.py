@@ -152,7 +152,10 @@ def _rgb_cfg(tmp_path, **extra):
 
 
 @needs_mesh
-@pytest.mark.parametrize("coarse_only_2d", [False, True])
+@pytest.mark.parametrize(
+    "coarse_only_2d",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_sharded_fusion_rgb_recovers_shift(rng, tmp_path, coarse_only_2d):
     from fusion4landslide_tpu.parallel import (
         run_fusion3d_tiles_sharded,
@@ -188,7 +191,10 @@ def test_sharded_fusion_rgb_recovers_shift(rng, tmp_path, coarse_only_2d):
 
 
 @needs_mesh
-@pytest.mark.parametrize("lifting", ["nn_search", "interpolation"])
+@pytest.mark.parametrize(
+    "lifting",
+    ["nn_search", pytest.param("interpolation", marks=pytest.mark.slow)],
+)
 def test_sharded_fusion_rgb_matches_host_tile(rng, tmp_path, lifting):
     """Mesh on/off consistency for the full RGB+3D method: the sharded
     runner and the serial host tile produce the same displacement field
@@ -256,6 +262,7 @@ def test_sharded_fusion_rgb_matches_host_tile(rng, tmp_path, lifting):
     assert np.median(deltas) < 1e-3
 
 
+@pytest.mark.slow
 @needs_mesh
 def test_sharded_fusion_rgb_multi_image_fill_in(rng, tmp_path):
     """num_sub_img > 1 on the mesh: two image pairs whose pixel-match
@@ -300,6 +307,7 @@ def test_sharded_fusion_rgb_multi_image_fill_in(rng, tmp_path):
     assert (xs > np.median(base[:, 0])).sum() > 20
 
 
+@pytest.mark.slow
 @needs_mesh
 def test_sharded_fusion_rgb_with_superpoint_partitions(rng, tmp_path):
     """The flagship fusion_brienz combination: partition_type=superpoint

@@ -22,18 +22,18 @@ def test_zncc_search_widens_with_max_flow(rng):
     # dominated the suite at 160px/52px (347 s); 96px/24px checks the same
     # widening logic in seconds.
     img0 = _textured(rng, 96, 96)
-    shift = 20  # beyond the search window passed below
+    shift = 13  # beyond the search window passed below
     img1 = np.roll(img0, shift, axis=1)
     near_default = M.match_epoch_images(
-        img0, img1, matcher="zncc", search=8, min_score=0.8
+        img0, img1, matcher="zncc", search=6, min_score=0.8
     )
     # With a too-small search bound the true flow is unreachable: no match
     # reports the actual displacement.
     if near_default.size:
         assert np.abs(near_default[:, 2] - near_default[:, 0]).max() < shift
     widened = M.match_epoch_images(
-        img0, img1, matcher="zncc", search=8, min_score=0.8,
-        max_flow_px=shift + 4,
+        img0, img1, matcher="zncc", search=6, min_score=0.8,
+        max_flow_px=shift + 3,
     )
     assert widened.shape[0] > 10
     flow = widened[:, 2] - widened[:, 0]

@@ -87,6 +87,7 @@ def test_sharded_f2s3_matches_single_device(rng):
     )
 
 
+@pytest.mark.slow
 @needs_mesh
 def test_sharded_f2s3_matches_host_pipeline(rng, tmp_path):
     """The sharded device step and the serial host path agree on the DVF
@@ -272,6 +273,7 @@ def test_sharded_fusion3d_recovers_rigid_shift(rng, tmp_path):
     )
 
 
+@pytest.mark.slow
 @needs_mesh
 def test_sharded_fusion3d_superpoint_partition_inputs(rng, tmp_path):
     """partition_type=superpoint on the mesh: the sharded step consumes
@@ -376,6 +378,7 @@ def test_sharded_piecewise_matches_serial(rng, tmp_path):
     np.testing.assert_allclose(got, serial, atol=1e-4)
 
 
+@pytest.mark.slow
 @needs_mesh
 def test_sharded_rgb_guided_matches_serial(rng, tmp_path):
     """The device-resident RGB-guided tile step on the 8-dev mesh agrees
