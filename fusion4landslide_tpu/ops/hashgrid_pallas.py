@@ -41,7 +41,10 @@ _LANES = 128
 
 
 def _grid_knn_kernel(
-    wmeta_ref,  # scalar prefetch: (nb, 2) i32 [window start (aligned), len]
+    wmeta_ref,  # scalar prefetch: (2, nb) i32 [start (aligned); len] —
+    # transposed so SMEM stores 2 lane-padded rows, not nb (Mosaic pads
+    # every SMEM row to 128 lanes: (nb, 2) would burn 512 B per block and
+    # overflow the 1 MB SMEM past ~2k grid steps; a 2M-pt bucket has 4096)
     qmat_ref,  # (B, 8) f32: [-2x, -2y, -2z, 1, row_id, 0, 0, 0]
     refpack_ref,  # (8, m_pad) f32 in HBM: rows [x, y, z, |r|^2, 0...]
     idx_ref,  # (1, m_pad) i32 original ref indices, cell-sorted order
@@ -58,8 +61,8 @@ def _grid_knn_kernel(
 ):
     i = pl.program_id(0)
     B = qmat_ref.shape[0]
-    w_lo = pl.multiple_of(wmeta_ref[i, 0], _LANES)
-    w_len = wmeta_ref[i, 1]
+    w_lo = pl.multiple_of(wmeta_ref[0, i], _LANES)
+    w_len = wmeta_ref[1, i]
 
     cp1 = pltpu.make_async_copy(
         refpack_ref.at[:, pl.ds(w_lo, w_size)], refw, sems.at[0]
@@ -182,8 +185,11 @@ def _window_prologue(query, grid, block: int, window: int):
     refpack = refpack.at[3, :m].set(r2)
     refpack = refpack.at[3, m:].set(jnp.inf)
     idxarr = jnp.zeros((1, m_pad), jnp.int32).at[0, :m].set(grid.index)
+    # (2, nb): row 0 = aligned window starts, row 1 = lengths. Transposed
+    # on purpose — Mosaic pads every SMEM row to 128 lanes, so the
+    # prefetched array must keep nb in the LANE dimension.
     w_lo_al = jnp.minimum(w_lo_al, m_pad - window)
-    wmeta = jnp.stack([w_lo_al, jnp.minimum(w_len, window)], axis=1)
+    wmeta = jnp.stack([w_lo_al, jnp.minimum(w_len, window)], axis=0)
 
     qrows = jnp.pad(qorder.astype(jnp.int32), (0, pad), constant_values=-1)
     qmat = jnp.concatenate(
@@ -280,7 +286,7 @@ def hash_grid_knn_window(
 
 
 def _radius_sample_kernel(
-    wmeta_ref,  # scalar prefetch: (nb, 2) i32 [window start (aligned), len]
+    wmeta_ref,  # scalar prefetch: (2, nb) i32 (see _grid_knn_kernel)
     qmat_ref,  # (B, 8) f32: [-2x, -2y, -2z, 1, row_id, r^2, 0, 0]
     refpack_ref,  # (8, m_pad) f32 in HBM
     idx_ref,  # (1, m_pad) i32
@@ -299,8 +305,8 @@ def _radius_sample_kernel(
 ):
     i = pl.program_id(0)
     B = qmat_ref.shape[0]
-    w_lo = pl.multiple_of(wmeta_ref[i, 0], _LANES)
-    w_len = wmeta_ref[i, 1]
+    w_lo = pl.multiple_of(wmeta_ref[0, i], _LANES)
+    w_len = wmeta_ref[1, i]
 
     cp1 = pltpu.make_async_copy(
         refpack_ref.at[:, pl.ds(w_lo, w_size)], refw, sems.at[0]

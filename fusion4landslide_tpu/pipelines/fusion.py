@@ -894,6 +894,27 @@ def _fusion_tile_core(
                         weights=cfg.get("img_matcher_weights"),
                     )
                 n_px_total += len(corres_2d)
+                if bool(
+                    cfg.get("save_img_matching_visualization", False)
+                ) and len(corres_2d):
+                    # Reference base:1213-1224 (make_matching_figure JPG);
+                    # headless matplotlib export, see utils/visualization.
+                    from fusion4landslide_tpu.utils.visualization import (
+                        save_matching_figure,
+                    )
+
+                    save_matching_figure(
+                        simg,
+                        timg,
+                        np.asarray(corres_2d),
+                        osp.join(
+                            out_root,
+                            "img_matching_results",
+                            "visualization",
+                            f"src_{a}_tgt_{b}_tile_{tile_id}.jpg",
+                        ),
+                        text=f"tile {tile_id} src img {a} x tgt img {b}",
+                    )
                 if not len(corres_2d):
                     continue
                 c2 = jnp.asarray(np.asarray(corres_2d, np.float32))
@@ -1246,6 +1267,67 @@ def _fusion_tile_core(
             lab_t_arr[pair_src] = ft
             lab_rmse[pair_src] = frmse
             lab_ok[pair_src] = fvalid
+
+            # Visual debugging exports (the reference's interactive o3d
+            # windows, base:3159-3231 / base:4279-4403, as headless PNGs;
+            # host path only — the sharded runners are the production
+            # path and skip debug rendering).
+            from fusion4landslide_tpu.utils.visualization import (
+                patch_visualization_requests,
+            )
+
+            vis_idx = patch_visualization_requests(
+                cfg, len(pair_src), seed=rng_seed
+            )
+            if len(vis_idx):
+                from fusion4landslide_tpu.utils.visualization import (
+                    save_matches_within_patch_figure,
+                    save_patch_match_figure,
+                )
+
+                vis_dir = osp.join(out_root, "visualization")
+                off = tuple(cfg.get("offset") or (75.0, 75.0, 75.0))
+                small = cfg.get("small_region")
+                within = bool(
+                    cfg.get("visualize_matches_within_patch", False)
+                )
+                ch1_idx_np = np.asarray(ch1_idx)
+                ch1_valid_np = np.asarray(ch1_valid)
+                for k in vis_idx:
+                    ps, pt = int(pair_src[k]), int(pair_tgt[k])
+                    p_s = src_vox[lab_s == ps] + center
+                    p_t = tgt_vox[lab_t == pt] + center
+                    save_patch_match_figure(
+                        src_vox + center,
+                        tgt_vox + center,
+                        p_s,
+                        p_t,
+                        osp.join(
+                            vis_dir,
+                            f"patch_match_tile_{tile_id}_l{level}_{k}.png",
+                        ),
+                        offset=off,
+                        small_region=(
+                            float(small) if small is not None else None
+                        ),
+                    )
+                    if within:
+                        sel = (
+                            (lab_s == ps)
+                            & ch1_valid_np
+                            & (lab_t[np.clip(ch1_idx_np, 0, None)] == pt)
+                        )
+                        save_matches_within_patch_figure(
+                            p_s,
+                            p_t,
+                            src_vox[sel] + center,
+                            tgt_vox[ch1_idx_np[sel]] + center,
+                            osp.join(
+                                vis_dir,
+                                f"matches_within_patch_tile_{tile_id}"
+                                f"_l{level}_{k}.png",
+                            ),
+                        )
 
             # --- 7. Dense per-point assignment, merged by level priority.
             pt_label = np.where(

@@ -213,6 +213,28 @@ def run_rgb_guided_tile(
     if logger:
         logger.info("tile %s: %d 2D matches", tile_id, len(corres_2d))
 
+    if bool(cfg.get("save_img_matching_visualization", False)) and len(
+        corres_2d
+    ):
+        # Reference rgb_guided.py:2269-2279 (make_matching_figure JPG).
+        from fusion4landslide_tpu.utils.visualization import (
+            save_matching_figure,
+        )
+
+        save_matching_figure(
+            src_image,
+            tgt_image,
+            np.asarray(corres_2d),
+            osp.join(
+                str(cfg.get("output_dir", ".")),
+                str(cfg.get("output_folder", "run")),
+                "img_matching_results",
+                "visualization",
+                f"tile_{tile_id}.jpg",
+            ),
+            text=f"tile {tile_id}",
+        )
+
     center = src_core.mean(axis=0)
     s = (src_core - center).astype(np.float32)
     t = (tgt_core - center).astype(np.float32)
