@@ -66,9 +66,26 @@ _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 
 
 def bucket_size(n: int, buckets: tuple[int, ...] = _BUCKETS) -> int:
-    """Round up to a standard bucket to bound jit recompilations."""
+    """Round up to a standard bucket to bound jit recompilations.
+
+    Above the largest listed bucket the ladder continues at quarter-octave
+    steps ({1, 1.25, 1.5, 1.75} x 2^k), not full powers of two: production
+    overlap tiles land anywhere (e.g. a 512k-pt core tile's +-20 m overlap
+    cloud is ~1.24M points, which a power-of-two ladder would pad 69% to
+    2M), and the sharded runner compiles ONE bucket per run (the max tile
+    size), so the finer ladder costs no extra Mosaic compiles. Every rung
+    is a multiple of 2^13, comfortably above the window kernels' 512-pt
+    block granularity, the device step's 2048-pt DIPs chunk, and the f32
+    (8, 128) tile constraint.
+    """
     n = int(n)
     for b in buckets:
         if n <= b:
             return b
-    return int(2 ** np.ceil(np.log2(max(n, 1))))
+    k = int(np.ceil(np.log2(max(n, 1))))  # 2^(k-1) < n <= 2^k
+    base = 2 ** (k - 1)
+    for num in (5, 6, 7, 8):  # 1.25, 1.5, 1.75, 2.0 x 2^(k-1)
+        b = base * num // 4
+        if n <= b:
+            return b
+    return 2**k

@@ -78,7 +78,19 @@ def test_bucket_size():
     assert bucket_size(5) == 64
     assert bucket_size(64) == 64
     assert bucket_size(65) == 128
-    assert bucket_size(40000) == 65536
+    # Above the listed buckets the ladder continues at quarter-octave steps
+    # ({1, 1.25, 1.5, 1.75} x 2^k) so production overlap tiles don't pad up
+    # to the next power of two; every rung is a multiple of 2^13.
+    assert bucket_size(40000) == 40960
+    assert bucket_size(40960) == 40960
+    assert bucket_size(40961) == 49152
+    assert bucket_size(131072) == 131072
+    assert bucket_size(131073) == 163840
+    assert bucket_size(1_244_433) == 1_310_720  # 512k-core +-20 m overlap
+    assert bucket_size(1_960_000) == 2_097_152  # 1M-core +-20 m overlap
+    for n in range(33_000, 3_000_000, 13_771):
+        b = bucket_size(n)
+        assert b >= n and b % 8192 == 0 and b <= 2 * n
 
 
 def _oracle_supervoxels(points, k_neighbors, resolution):

@@ -144,7 +144,7 @@ def main() -> None:
         _vote_2d_device,
     )
 
-    pix_np, K_np, E_np = synth_image_channel(src_np, tgt_np, n // 2)
+    pix_np, K_np, E_np, _ = synth_image_channel(src_np, tgt_np, n // 2)
     Pc = bucket_size(len(pix_np))
     pixb = (
         jnp.zeros((Pc, 4), jnp.float32).at[: len(pix_np)].set(
