@@ -119,6 +119,40 @@ def synth_overlap_tile(
     return src, tgt, core, moving
 
 
+def synth_split_tile(
+    n_core: int,
+    src_margin: float,
+    tgt_margin: float,
+    halo: float = 20.0,
+    density: float = 100.0,
+    seed: int = 0,
+):
+    """The core/halo query-split tile the driver actually feeds when
+    ``halo_query_split`` is on (the default — pipelines.driver.
+    halo_split_spec): the full ±``halo`` overlap cloud cropped to the core
+    bbox + ``src_margin`` for the source (query) side and + ``tgt_margin``
+    for the target (support) side. Returns (src, tgt, core_mask_src,
+    moving_mask_src)."""
+    src, tgt, core, moving = synth_overlap_tile(
+        n_core, halo=halo, density=density, seed=seed
+    )
+    side = float(np.sqrt(n_core / density))
+    lo, hi = halo, halo + side
+
+    def crop(m):
+        xy = src[:, :2]
+        return (
+            (xy[:, 0] >= lo - m)
+            & (xy[:, 0] < hi + m)
+            & (xy[:, 1] >= lo - m)
+            & (xy[:, 1] < hi + m)
+        )
+
+    ks = crop(src_margin)
+    kt = crop(tgt_margin)
+    return src[ks], tgt[kt], core[ks], moving[ks]
+
+
 def _keepalive():
     import jax
     import jax.numpy as jnp
@@ -215,20 +249,47 @@ def bench_e2e(n_core: int, with_rgb: bool) -> dict:
 
     stop = _keepalive()
     dips_params, agg_params = _models()
-    src, tgt, core, moving = synth_overlap_tile(
-        n_core,
-        halo=float(os.environ.get("BENCH_HALO", 20.0)),
-        density=float(os.environ.get("BENCH_DENSITY", 100.0)),
-    )
-    n = len(src)  # halo-inclusive tile points (the actual work unit)
+    halo = float(os.environ.get("BENCH_HALO", 20.0))
+    density = float(os.environ.get("BENCH_DENSITY", 100.0))
+    max_mag = 5.0  # Brienz max_magnitude (fusion_brienz.yaml:96)
+    # Core/halo query split (the driver default, pipelines.driver.
+    # halo_split_spec): the measured tile is the cropped pair the real
+    # driver feeds per tile. BENCH_SPLIT=0 measures the reference's
+    # full-overlap redundancy (halo_query_split: false) instead.
+    split = os.environ.get("BENCH_SPLIT", "1") == "1"
+    if split:
+        # The 3D-only mode runs random-init descriptor weights, whose
+        # exact-geometry matching needs identical src/tgt crops — use the
+        # (conservative, more work) symmetric target margin on both sides
+        # there. The RGB headline measures the production-default
+        # asymmetric margins (halo_split_spec): its 2D vote channel, like
+        # trained descriptors, is robust to differing crops.
+        tgt_margin = float(os.environ.get("BENCH_TGT_MARGIN", 2 * max_mag))
+        src_margin = float(
+            os.environ.get(
+                "BENCH_SRC_MARGIN", max_mag if with_rgb else tgt_margin
+            )
+        )
+        src, tgt, core, moving = synth_split_tile(
+            n_core, src_margin, tgt_margin, halo=halo, density=density
+        )
+    else:
+        src, tgt, core, moving = synth_overlap_tile(
+            n_core, halo=halo, density=density
+        )
+    n = len(src)  # source (query) points: core + margin ring
+    mt = len(tgt)  # target (support) points
     N = bucket_size(n)
+    M = bucket_size(mt)
     c = src.mean(axis=0)
     sb = np.zeros((1, N, 3), np.float32)
     sb[0, :n] = src - c
-    tb = np.zeros((1, N, 3), np.float32)
-    tb[0, :n] = tgt - c
+    tb = np.zeros((1, M, 3), np.float32)
+    tb[0, :mt] = tgt - c
     m = np.zeros((1, N), bool)
     m[0, :n] = True
+    mm = np.zeros((1, M), bool)
+    mm[0, :mt] = True
 
     # Production statics (fusion_brienz-class config; bf16 descriptor
     # activations — recommended production precision, match recovery
@@ -239,6 +300,7 @@ def bench_e2e(n_core: int, with_rgb: bool) -> dict:
         patch_points=256,
         chunk=2048,
         sv_cap=max(bucket_size(max(N // 16, 1)), 64),
+        sv_cap_tgt=max(bucket_size(max(M // 16, 1)), 64),
         member_cap=512,
         agg_max_points=512,
         small_patch=10,
@@ -258,14 +320,22 @@ def bench_e2e(n_core: int, with_rgb: bool) -> dict:
     keys = jax.random.split(jax.random.PRNGKey(0), 1)
     scal = lambda v, dt=jnp.float32: jnp.full((1,), v, dt)
     args = (
-        jnp.asarray(sb), jnp.asarray(m), jnp.asarray(tb), jnp.asarray(m),
+        jnp.asarray(sb), jnp.asarray(m), jnp.asarray(tb), jnp.asarray(mm),
         keys,
-        scal(5.0), scal(0.1), scal(0.1),
+        scal(max_mag), scal(0.1), scal(0.1),
         scal(10, jnp.int32), scal(10, jnp.int32), scal(0.5), scal(0.15),
     )
     m_per_px = 0.0
     if with_rgb:
-        pix, K, E, m_per_px = synth_image_channel(src, tgt, n_matches=n // 2)
+        # Pixel matches are image-level; derive them from the source crop
+        # and its true displaced positions (src/tgt crops are different
+        # point subsets under the split, so pairing src[i]↔tgt[i] would be
+        # wrong).
+        tgt_of_src = src.copy()
+        tgt_of_src[moving] += PLANTED_SHIFT
+        pix, K, E, m_per_px = synth_image_channel(
+            src, tgt_of_src, n_matches=n // 2
+        )
         Pc = bucket_size(len(pix))
         pixb = np.zeros((1, 1, Pc, 4), np.float32)
         pixb[0, 0, : len(pix)] = pix
@@ -316,8 +386,8 @@ def bench_e2e(n_core: int, with_rgb: bool) -> dict:
     print(
         f"# recovery: median err moving {np.median(err_mov):.2e} m, "
         f"static {np.median(err_sta):.2e} m (tol {tol:.2e}), core "
-        f"assigned {ok[core].mean():.3f}, tile {n} pts in bucket {N}, "
-        f"best {best:.3f} s",
+        f"assigned {ok[core].mean():.3f}, src {n} pts in bucket {N}, "
+        f"tgt {mt} pts in bucket {M}, split={split}, best {best:.3f} s",
         file=sys.stderr,
     )
     if err_mov.size:

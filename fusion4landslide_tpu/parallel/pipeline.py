@@ -386,6 +386,11 @@ def run_fusion3d_tiles_sharded(
         m_bucket = bucket_size(max(t[2].shape[0] for t in tiles))
     N, M = n_bucket, m_bucket
     sv_cap = int(cfg.get("sv_cap", 0)) or max(bucket_size(max(N // 16, 1)), 64)
+    # Under the core/halo query split the target bucket is larger than the
+    # source bucket; size its superpoint cap from its own point count.
+    sv_cap_t = int(cfg.get("sv_cap_tgt", 0)) or max(
+        bucket_size(max(M // 16, 1)), 64
+    )
     member_cap = int(cfg.get("member_cap", 0)) or 512
     statics = dict(
         levels=tuple(int(v) for v in (cfg.get("level_of_superpoint") or [1])),
@@ -396,6 +401,7 @@ def run_fusion3d_tiles_sharded(
         sample_priority=str(cfg.get("feat_sample_priority", "knn")),
         chunk=min(int(cfg.get("feat_chunk", 2048)), N),
         sv_cap=sv_cap,
+        sv_cap_tgt=sv_cap_t,
         member_cap=member_cap,
         agg_max_points=min(int(cfg.get("agg_max_points", 512)), member_cap),
         small_patch=int(cfg.get("num_min_matches_for_small_patch", 10)),
@@ -405,6 +411,7 @@ def run_fusion3d_tiles_sharded(
             str(cfg.get("coarse_refinement_3d_type", "nn_mutual"))
             != "only_max_mag"
         ),
+        global_gated=bool(cfg.get("global_matching_gated", True)),
         with_sparse=str(cfg.get("assign_type", "assign_then_nn"))
         == "assign_then_nn",
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),

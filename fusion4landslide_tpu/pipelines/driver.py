@@ -23,6 +23,8 @@ __all__ = [
     "log_config",
     "skip_completed_tiles",
     "load_or_compute_features",
+    "halo_split_spec",
+    "crop_cloud_to_core",
 ]
 
 
@@ -194,12 +196,92 @@ def load_or_compute_features(
     return out
 
 
-def iter_tile_clouds(tiles, *, prefetch: int = 2):
+def halo_split_spec(cfg) -> tuple[float, float] | None:
+    """Margins (src_m, tgt_m) in metres for the core/halo query split, or
+    ``None`` when disabled.
+
+    The reference recomputes every tile's full ±20 m overlap cloud as BOTH
+    query and support (/root/reference/main_fusion.py:128-144, halo from
+    pcd_tiling.cpp:297-301) — redundancy, not semantics: each point is core
+    in exactly one tile, so source-side queries (descriptors, partitions,
+    fine solves, DVF output) only need core(+margin) points, while the halo
+    only has to exist as target/support context. The split crops the
+    per-tile clouds to
+
+    - source: core bbox + ``halo_src_margin``   (default max_magnitude —
+      partition/patch context so boundary supervoxels keep their extent),
+    - target: core bbox + ``halo_tgt_margin``   (default 2·max_magnitude —
+      match candidates for every source-margin point plus patch context),
+
+    both clamped to ``tile_halo``. ``halo_query_split: false`` restores the
+    reference's full-overlap redundancy (exact-parity mode).
+    """
+    if not bool(cfg.get("halo_query_split", True)):
+        return None
+    halo = float(cfg.get("tile_halo", 20.0))
+    mm = float(cfg.get("max_magnitude", 10.0))
+    sm = min(float(cfg.get("halo_src_margin", mm)), halo)
+    tm = min(float(cfg.get("halo_tgt_margin", 2.0 * mm)), halo)
+    if sm >= halo and tm >= halo:
+        return None  # margins cover the halo — identical to the full clouds
+    return sm, tm
+
+
+def _core_path(overlap_path: str) -> str:
+    """non_overlap core PLY for an overlap tile path (tiler naming:
+    overlap/source_tile_N_overlap.ply ↔ non_overlap/source_tile_N.ply)."""
+    head, name = osp.split(overlap_path)
+    root, sub = osp.split(head)
+    if sub != "overlap":
+        return ""
+    return osp.join(root, "non_overlap", name.replace("_overlap", ""))
+
+
+def crop_cloud_to_core(cloud, lo, hi, margin: float, budget: int | None = None):
+    """Crop a cloud to the core bbox [lo, hi] expanded by ``margin`` per
+    axis. With ``budget`` set, a crop that would exceed it keeps the
+    ``budget`` points nearest the core box instead (the largest margin that
+    fits the padded bucket — the core itself always fits, its excess is 0)."""
+    import numpy as np
+
+    p = cloud.points
+    excess = np.maximum(np.maximum(lo - p, p - hi), 0.0).max(axis=1)
+    keep = excess <= margin
+    if budget is not None and int(keep.sum()) > budget:
+        idx = np.argsort(excess, kind="stable")[:budget]
+        keep = np.zeros(len(p), bool)
+        keep[idx] = True
+        keep &= excess <= margin
+    if keep.all():
+        return cloud
+    from fusion4landslide_tpu.io.ply import PointCloud
+
+    return PointCloud(
+        points=p[keep],
+        colors=None if cloud.colors is None else cloud.colors[keep],
+        extras={k: v[keep] for k, v in cloud.extras.items()},
+    )
+
+
+def iter_tile_clouds(
+    tiles,
+    *,
+    prefetch: int = 2,
+    split: tuple[float, float] | None = None,
+    budgets: tuple[int, int] | None = None,
+    logger=None,
+):
     """Yield (tile_id, src_cloud, tgt_cloud) with background prefetch.
 
     While the device crunches tile i, a reader thread parses tile i+1's
     PLY pair — the host-IO double buffering the serial reference loop
     lacks (main_fusion.py:134 reads synchronously per tile).
+
+    With ``split=(src_margin, tgt_margin)`` (see ``halo_split_spec``) the
+    overlap clouds are cropped to the tile's core bbox expanded by the
+    margins — the core/halo query split. ``budgets=(N, M)`` bounds the
+    cropped sizes to the padded buckets (margin shrinks for a tile whose
+    crop would overflow; the core always fits).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -207,7 +289,32 @@ def iter_tile_clouds(tiles, *, prefetch: int = 2):
 
     def load(entry):
         tile_id, src_path, tgt_path = entry
-        return tile_id, read_point_cloud(src_path), read_point_cloud(tgt_path)
+        src = read_point_cloud(src_path)
+        tgt = read_point_cloud(tgt_path)
+        if split is not None:
+            core_p = _core_path(src_path)
+            if core_p and osp.exists(core_p):
+                core = read_point_cloud(core_p).points
+                lo = core.min(axis=0)
+                hi = core.max(axis=0)
+                nb, mb = budgets if budgets else (None, None)
+                n0, m0 = len(src), len(tgt)
+                src = crop_cloud_to_core(src, lo, hi, split[0], nb)
+                tgt = crop_cloud_to_core(tgt, lo, hi, split[1], mb)
+                if logger:
+                    logger.info(
+                        "tile %s: core/halo split %d->%d src, %d->%d tgt "
+                        "(margins %.1f/%.1f m)",
+                        tile_id, n0, len(src), m0, len(tgt),
+                        split[0], split[1],
+                    )
+            elif logger:
+                logger.warning(
+                    "tile %s: no non_overlap core PLY next to %s — "
+                    "halo split skipped for this tile",
+                    tile_id, src_path,
+                )
+        return tile_id, src, tgt
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         futures = [pool.submit(load, e) for e in tiles[:prefetch]]
@@ -220,13 +327,50 @@ def iter_tile_clouds(tiles, *, prefetch: int = 2):
             yield result
 
 
-def tile_size_buckets(tiles) -> tuple[int, int]:
+def _split_count_estimate(
+    n_core: int, n_olap: int, halo: float, margin: float
+) -> int:
+    """Upper estimate of a tile's cropped point count under the query split,
+    from header counts only: solve the uniform-density square model
+    n_olap/n_core = ((a+2·halo)/a)^2 for the core side a, scale to the
+    margin, add 15% headroom (the quarter-octave bucket ladder absorbs it;
+    ``crop_cloud_to_core``'s budget bound guarantees no overflow either way).
+    """
+    import math
+
+    if margin >= halo or n_olap <= n_core or halo <= 0:
+        return n_olap
+    ratio = n_olap / max(n_core, 1)
+    a = 2.0 * halo / max(math.sqrt(ratio) - 1.0, 1e-6)
+    est = n_core * ((a + 2.0 * margin) / a) ** 2
+    return int(min(n_olap, math.ceil(est * 1.15)))
+
+
+def tile_size_buckets(
+    tiles,
+    split: tuple[float, float] | None = None,
+    halo: float = 20.0,
+) -> tuple[int, int]:
     """(src_bucket, tgt_bucket) padded sizes for a tile list, read from the
     PLY headers only — lets the sharded runners stream tiles lazily instead
-    of materialising every cloud up front."""
+    of materialising every cloud up front. With ``split`` margins the
+    buckets size the cropped clouds (see ``halo_split_spec``)."""
     from fusion4landslide_tpu.io.ply import ply_vertex_count
     from fusion4landslide_tpu.ops.segments import bucket_size
 
-    n = max(ply_vertex_count(sp) for _, sp, _ in tiles)
-    m = max(ply_vertex_count(tp) for _, _, tp in tiles)
+    if split is None:
+        n = max(ply_vertex_count(sp) for _, sp, _ in tiles)
+        m = max(ply_vertex_count(tp) for _, _, tp in tiles)
+        return bucket_size(n), bucket_size(m)
+    n = m = 1
+    for _, sp, tp in tiles:
+        core_p = _core_path(sp)
+        n_o = ply_vertex_count(sp)
+        m_o = ply_vertex_count(tp)
+        if core_p and osp.exists(core_p):
+            n_c = ply_vertex_count(core_p)
+            n = max(n, _split_count_estimate(n_c, n_o, halo, split[0]))
+            m = max(m, _split_count_estimate(n_c, m_o, halo, split[1]))
+        else:
+            n, m = max(n, n_o), max(m, m_o)
     return bucket_size(n), bucket_size(m)

@@ -799,9 +799,30 @@ def _fusion_tile_core(
         tgt_feat_d = jnp.asarray(tgt_feat)
         src_vox_d = jnp.asarray(src_vox)
         tgt_vox_d = jnp.asarray(tgt_vox)
-        g_idx, g_valid = global_matches_3d(
-            src_feat_d, tgt_feat_d, src_vox_d, tgt_vox_d, max_mag,
-        )
+        # Banded magnitude-gated search by default (ops.gated_match; see
+        # fusion_device for semantics); global_matching_gated: false keeps
+        # the reference's search-then-gate brute force (base:2756-2889).
+        if bool(cfg.get("global_matching_gated", True)):
+            from fusion4landslide_tpu.ops.gated_match import gated_feature_nn1
+
+            # Pad to power-of-two buckets (like global_matches_3d) so
+            # per-tile voxel-count variation reuses the compilation.
+            nv, mv = src_feat.shape[0], tgt_feat.shape[0]
+            nb_, mb_ = bucket_size(nv), bucket_size(mv)
+            _, g_idx, g_valid = gated_feature_nn1(
+                jnp.pad(src_feat_d, ((0, nb_ - nv), (0, 0))),
+                jnp.pad(tgt_feat_d, ((0, mb_ - mv), (0, 0))),
+                jnp.pad(src_vox_d, ((0, nb_ - nv), (0, 0))),
+                jnp.pad(tgt_vox_d, ((0, mb_ - mv), (0, 0))),
+                np.float32(max_mag),
+                jnp.arange(nb_) < nv,
+                jnp.arange(mb_) < mv,
+            )
+            g_idx, g_valid = g_idx[:nv], g_valid[:nv]
+        else:
+            g_idx, g_valid = global_matches_3d(
+                src_feat_d, tgt_feat_d, src_vox_d, tgt_vox_d, max_mag,
+            )
         g_idx = np.asarray(g_idx)
         g_valid = np.asarray(g_valid)
 

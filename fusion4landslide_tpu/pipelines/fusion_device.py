@@ -363,51 +363,49 @@ def _lift_2d_device(
     return t2d, win >= 0
 
 
-def _vote_2d_device(lab_s, lab_t, c2d_idx, c2d_valid, n_lab: int):
+def _vote_2d_device(
+    lab_s, lab_t, c2d_idx, c2d_valid, n_lab_s: int, n_lab_t: int
+):
     """Majority vote of per-voxel 2D matches into target superpoints
     (base:3019-3070), the traced equivalent of
     ``pipelines.fusion.coarse_match_2d_votes``: each src voxel with a valid
     2D match votes its matched tgt voxel's superpoint; each src superpoint
     takes the most-voted target (ties → smallest target label, matching
-    numpy argmax). Sort-based — no (S, S) vote matrix materialises.
+    numpy argmax). Sort-based — no (S_s, S_t) vote matrix materialises; the
+    two-key lexicographic sort keeps the run keys in int32 whatever the cap
+    product is (the src/tgt caps differ under the core/halo query split).
 
-    Returns (vote_tgt (n_lab,), vote_count (n_lab,)).
+    Returns (vote_tgt (n_lab_s,), vote_count (n_lab_s,)).
     """
     V = lab_s.shape[0]
     tlab = jnp.take(lab_t, jnp.clip(c2d_idx, 0, lab_t.shape[0] - 1))
     ok = c2d_valid & (lab_s >= 0) & (tlab >= 0)
-    sentinel = jnp.int32(n_lab) * jnp.int32(n_lab)
-    key = jnp.where(
-        ok, lab_s.astype(jnp.int32) * n_lab + tlab.astype(jnp.int32),
-        sentinel,
-    )
-    skey = jnp.sort(key)
+    k1 = jnp.where(ok, lab_s.astype(jnp.int32), jnp.int32(n_lab_s))
+    k2 = jnp.where(ok, tlab.astype(jnp.int32), jnp.int32(n_lab_t))
+    k1, k2 = jax.lax.sort((k1, k2), num_keys=2)
     idxs = jnp.arange(V, dtype=jnp.int32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
-    )
-    last = jnp.concatenate(
-        [skey[1:] != skey[:-1], jnp.ones((1,), bool)]
-    )
+    same = (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1])
+    first = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    last = jnp.concatenate([~same, jnp.ones((1,), bool)])
     start = jax.lax.cummax(jnp.where(first, idxs, 0))
     count = idxs - start + 1  # run length, valid at each run's last slot
-    src_of = skey // n_lab
-    tgt_of = skey % n_lab
-    emit = last & (skey < sentinel)
+    emit = last & (k1 < n_lab_s)
     cnt_max = (
-        jnp.zeros((n_lab,), jnp.int32)
-        .at[jnp.where(emit, src_of, n_lab)]
+        jnp.zeros((n_lab_s,), jnp.int32)
+        .at[jnp.where(emit, k1, n_lab_s)]
         .max(jnp.where(emit, count, 0), mode="drop")
     )
-    is_best = emit & (count == jnp.take(cnt_max, jnp.clip(src_of, 0, n_lab - 1)))
+    is_best = emit & (
+        count == jnp.take(cnt_max, jnp.clip(k1, 0, n_lab_s - 1))
+    )
     vote_tgt = (
-        jnp.full((n_lab,), n_lab, jnp.int32)
-        .at[jnp.where(is_best, src_of, n_lab)]
-        .min(tgt_of, mode="drop")
+        jnp.full((n_lab_s,), n_lab_t, jnp.int32)
+        .at[jnp.where(is_best, k1, n_lab_s)]
+        .min(k2, mode="drop")
     )
     # Zero-vote rows keep the sentinel; clamp so gathers stay in range
     # (callers must mask by vote_count >= min_votes).
-    return jnp.minimum(vote_tgt, n_lab - 1), cnt_max
+    return jnp.minimum(vote_tgt, n_lab_t - 1), cnt_max
 
 
 class Fusion3DTileResult(NamedTuple):
@@ -434,6 +432,7 @@ class Fusion3DTileResult(NamedTuple):
         "chunk",
         "k_neighbors",
         "sv_cap",
+        "sv_cap_tgt",
         "member_cap",
         "agg_max_points",
         "small_patch",
@@ -442,6 +441,7 @@ class Fusion3DTileResult(NamedTuple):
         "fine_max_matches",
         "nested_levels",
         "coarse_mutual",
+        "global_gated",
         "with_sparse",
         "with_tgt2src",
         "precision",
@@ -489,6 +489,7 @@ def fusion3d_tile_step(
     chunk: int = 2048,
     k_neighbors: int = 15,
     sv_cap: int | tuple[int, ...] = 1024,
+    sv_cap_tgt: int | tuple[int, ...] | None = None,
     member_cap: int = 512,
     agg_max_points: int = 512,
     small_patch: int = 10,
@@ -497,6 +498,7 @@ def fusion3d_tile_step(
     fine_max_matches: int = 256,
     nested_levels: bool = True,
     coarse_mutual: bool = True,
+    global_gated: bool = True,
     with_sparse: bool = True,
     with_tgt2src: bool = True,
     precision: str = "default",
@@ -582,11 +584,24 @@ def fusion3d_tile_step(
         query_count=t_nv, **feat_kw
     )
 
-    # 3. Global 3D voxel matches (base:2756-2889).
-    g_idx, g_valid = global_matches_3d(
-        src_feat, tgt_feat, s_cent, t_cent,
-        jnp.asarray(max_magnitude, f32), vvalid_s, vvalid_t,
-    )
+    # 3. Global 3D voxel matches (base:2756-2889). Default: the banded
+    # magnitude-gated search (ops.gated_match) — O(candidates-in-gate)
+    # instead of O(N·M) feature brute force; identical wherever the global
+    # feature-NN is in-gate (reference marks the rest unmatched, the gated
+    # search returns their best in-gate candidate). global_matching_gated:
+    # false restores the reference's search-then-gate brute force.
+    if global_gated:
+        from fusion4landslide_tpu.ops.gated_match import gated_feature_nn1
+
+        _, g_idx, g_valid = gated_feature_nn1(
+            src_feat, tgt_feat, s_cent, t_cent,
+            jnp.asarray(max_magnitude, f32), vvalid_s, vvalid_t,
+        )
+    else:
+        g_idx, g_valid = global_matches_3d(
+            src_feat, tgt_feat, s_cent, t_cent,
+            jnp.asarray(max_magnitude, f32), vvalid_s, vvalid_t,
+        )
 
     # 3b. Global voxel matches lifted from 2D pixel matches
     # (base:1480-1675): project the voxel clouds into each image pair,
@@ -692,21 +707,29 @@ def fusion3d_tile_step(
     # partition labels carry NO such coarsening guarantee, so they keep
     # the flat cap at every level (pass an explicit tuple to size levels
     # from known label counts).
-    if isinstance(sv_cap, int):
-        if use_partition_inputs:
-            sv_caps = (sv_cap,) * len(levels)
-        else:
-            floor = min(256, sv_cap)
-            sv_caps = tuple(
-                max(sv_cap >> (2 * li), floor) for li in range(len(levels))
+    def _per_level_caps(cap):
+        if isinstance(cap, int):
+            if use_partition_inputs:
+                return (cap,) * len(levels)
+            floor = min(256, cap)
+            return tuple(
+                max(cap >> (2 * li), floor) for li in range(len(levels))
             )
-    else:
-        sv_caps = tuple(sv_cap)
+        return tuple(cap)
+
+    sv_caps = _per_level_caps(sv_cap)
+    # Under the core/halo query split the target (support) cloud is larger
+    # than the source (query) cloud, so its superpoint cap is sized
+    # independently; None keeps the symmetric behaviour.
+    sv_caps_t = (
+        sv_caps if sv_cap_tgt is None else _per_level_caps(sv_cap_tgt)
+    )
 
     lab_s_prev = lab_t_prev = None
     n_s_prev = n_t_prev = None
     for li, level in enumerate(levels):
         sv_cap_l = sv_caps[li]
+        sv_cap_tl = sv_caps_t[li]
         svl_radius = base_svl * (2.0 ** (int(level) - 1))
         if use_partition_inputs:
             raw_s = jnp.where(
@@ -747,7 +770,7 @@ def fusion3d_tile_step(
                 svl_radius, k_neighbors,
             )
             raw_t = _segment_centroids(
-                t_cent, lab_t_prev, sv_caps[li - 1], n_t_prev,
+                t_cent, lab_t_prev, sv_caps_t[li - 1], n_t_prev,
                 svl_radius, k_neighbors,
             )
         lab_s, n_s = drop_small_and_compact(raw_s, vvalid_s, small_patch)
@@ -756,7 +779,7 @@ def fusion3d_tile_step(
         lab_t_prev, n_t_prev = lab_t, n_t
 
         mem_s, memmask_s = label_members(lab_s, sv_cap_l, member_cap)
-        mem_t, memmask_t = label_members(lab_t, sv_cap_l, member_cap)
+        mem_t, memmask_t = label_members(lab_t, sv_cap_tl, member_cap)
         in_table = (
             jnp.zeros((N,), bool)
             .at[jnp.where(memmask_s, mem_s, N)]
@@ -767,14 +790,14 @@ def fusion3d_tile_step(
         )
 
         svalid_s = jnp.arange(sv_cap_l) < n_s
-        svalid_t = jnp.arange(sv_cap_l) < n_t
+        svalid_t = jnp.arange(sv_cap_tl) < n_t
         only_2d_coarse = with_2d and coarse_2d_mode == "only_2d"
         if only_2d_coarse:
             # Reference coarse_matching_only_2d: the 2D votes alone propose
             # pairs — the feature aggregation and 3D coarse matcher are
             # skipped entirely.
             vote_tgt, vote_cnt = _vote_2d_device(
-                lab_s, lab_t, c2d_idx, c2d_ok, sv_cap_l
+                lab_s, lab_t, c2d_idx, c2d_ok, sv_cap_l, sv_cap_tl
             )
             tgt_of_src = vote_tgt
             pair_valid = (vote_cnt >= 1) & svalid_s
@@ -804,7 +827,7 @@ def fusion3d_tile_step(
         if fusion_votes:
             E_l = extra_pair_cap or max(sv_cap_l // 4, 64)
             vote_tgt, vote_cnt = _vote_2d_device(
-                lab_s, lab_t, c2d_idx, c2d_ok, sv_cap_l
+                lab_s, lab_t, c2d_idx, c2d_ok, sv_cap_l, sv_cap_tl
             )
             vote_ok = (vote_cnt >= 1) & svalid_s
             extra_valid = vote_ok & ~(pair_valid & (tgt_of_src == vote_tgt))
@@ -925,10 +948,10 @@ def fusion3d_tile_step(
             # Exact reference semantics (base:3386-3393): each matched
             # pair's inverse transform applies to the TARGET patch's points.
             pair_R_of_tlab = jnp.broadcast_to(
-                jnp.eye(3, dtype=f32), (sv_cap_l, 3, 3)
+                jnp.eye(3, dtype=f32), (sv_cap_tl, 3, 3)
             )
-            pair_t_of_tlab = jnp.zeros((sv_cap_l, 3), f32)
-            pair_ok_of_tlab = jnp.zeros((sv_cap_l,), bool)
+            pair_t_of_tlab = jnp.zeros((sv_cap_tl, 3), f32)
+            pair_ok_of_tlab = jnp.zeros((sv_cap_tl,), bool)
             if fusion_votes:
                 # Scatter the extras first so a 3D pair targeting the same
                 # label wins (3D priority, as in the dense merge).
@@ -936,7 +959,7 @@ def fusion3d_tile_step(
                 tinv_e = -jnp.einsum(
                     "sij,sj->si", Rinv_e, fine.t[sv_cap_l:]
                 )
-                tle = jnp.where(e_fine_ok, tgt_e, sv_cap_l)
+                tle = jnp.where(e_fine_ok, tgt_e, sv_cap_tl)
                 pair_R_of_tlab = pair_R_of_tlab.at[tle].set(
                     Rinv_e, mode="drop"
                 )
@@ -949,7 +972,7 @@ def fusion3d_tile_step(
             Rinv = jnp.swapaxes(fine.R[:sv_cap_l], -1, -2)
             tinv = -jnp.einsum("sij,sj->si", Rinv, fine.t[:sv_cap_l])
             # Scatter pair inverse onto its TARGET label slot.
-            tl = jnp.where(lab_ok, tgt_of_src, sv_cap_l)
+            tl = jnp.where(lab_ok, tgt_of_src, sv_cap_tl)
             pair_R_of_tlab = pair_R_of_tlab.at[tl].set(Rinv, mode="drop")
             pair_t_of_tlab = pair_t_of_tlab.at[tl].set(tinv, mode="drop")
             pair_ok_of_tlab = pair_ok_of_tlab.at[tl].set(
@@ -959,7 +982,7 @@ def fusion3d_tile_step(
             tp_label = jnp.where(
                 tmask & (t_p2v < t_nv), jnp.take(lab_t, tp_vox), -1
             )
-            tpl = jnp.clip(tp_label, 0, sv_cap_l - 1)
+            tpl = jnp.clip(tp_label, 0, sv_cap_tl - 1)
             tp_has = (tp_label >= 0) & jnp.take(pair_ok_of_tlab, tpl)
             ttake = tp_has & ~t2s_valid
             t2s_R = jnp.where(

@@ -18,6 +18,7 @@ import time
 
 from fusion4landslide_tpu.pipelines.driver import (
     ensure_tiles,
+    halo_split_spec,
     list_tiles,
     log_config,
     setup_run,
@@ -77,6 +78,19 @@ def main() -> None:
     logger.info("Num. of tile(s): %d", len(tiles))
 
     dips_params, agg_params = load_model_params(cfg)
+
+    # Core/halo query split (default on): source-side queries over
+    # core(+margin) points only, the ±20 m halo present only as
+    # target/support context — each point is core in exactly one tile, so
+    # the merged field keeps its coverage while per-tile work drops ~2-5x.
+    # ``halo_query_split: false`` restores the reference's full-overlap
+    # redundancy (/root/reference/main_fusion.py:128-144).
+    split = halo_split_spec(cfg)
+    if split is not None:
+        logger.info(
+            "Core/halo query split: src margin %.1f m, tgt margin %.1f m "
+            "(halo_query_split: false disables)", split[0], split[1],
+        )
 
     # RGB+3D fusion: image pair + cameras (+ optional precomputed 2D pixel
     # matches from img_matching_result_dir, reference base:297-317).
@@ -254,7 +268,9 @@ def main() -> None:
                 )
                 pair_cache: dict = {}
                 kits: dict = {}
-                for tile_id, src, tgt in iter_tile_clouds(tiles):
+                for tile_id, src, tgt in iter_tile_clouds(
+                    tiles, split=split
+                ):
                     best_s = select_best_images(
                         src.points, src_entries, intrinsic, image_size,
                         num=num_sub, v_flip=v_flip,
@@ -296,9 +312,17 @@ def main() -> None:
                 image_kit_fn = lambda tid, s, t: kits[tid]  # noqa: E731
             pix_cap = bucket_size(max_px)
 
-        n_bucket, m_bucket = tile_size_buckets(tiles)
+        n_bucket, m_bucket = tile_size_buckets(
+            tiles, split=split, halo=float(cfg.get("tile_halo", 20.0))
+        )
         lazy = (
-            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
+            (tid, s.points, t.points)
+            for tid, s, t in iter_tile_clouds(
+                tiles,
+                split=split,
+                budgets=(n_bucket, m_bucket),
+                logger=logger,
+            )
         )
         run_fusion3d_tiles_sharded(
             cfg, dips_params, agg_params, lazy, logger=logger,
@@ -309,7 +333,7 @@ def main() -> None:
 
     from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
 
-    for tile_id, src, tgt in iter_tile_clouds(tiles):
+    for tile_id, src, tgt in iter_tile_clouds(tiles, split=split, logger=logger):
         logger.info("Processing tile %s", tile_id)
         if image_candidates is not None:
             # Per-tile best-image selection (base:760-858) + optional

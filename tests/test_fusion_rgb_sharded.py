@@ -33,18 +33,20 @@ def test_vote_2d_matches_host(rng):
     from fusion4landslide_tpu.pipelines.fusion import coarse_match_2d_votes
     from fusion4landslide_tpu.pipelines.fusion_device import _vote_2d_device
 
-    V, n_lab = 400, 16
-    lab_s = rng.integers(-1, n_lab, size=V).astype(np.int32)
-    lab_t = rng.integers(-1, n_lab, size=V).astype(np.int32)
-    c2d_idx = rng.integers(0, V, size=V).astype(np.int32)
+    # Asymmetric label counts: the core/halo query split gives the target
+    # (support) cloud more superpoints than the source (query) cloud.
+    V, W, n_lab_s, n_lab_t = 400, 520, 16, 24
+    lab_s = rng.integers(-1, n_lab_s, size=V).astype(np.int32)
+    lab_t = rng.integers(-1, n_lab_t, size=W).astype(np.int32)
+    c2d_idx = rng.integers(0, W, size=V).astype(np.int32)
     c2d_valid = rng.random(V) < 0.7
 
     want_tgt, want_ok = coarse_match_2d_votes(
-        lab_s, lab_t, c2d_idx, c2d_valid, n_lab, n_lab
+        lab_s, lab_t, c2d_idx, c2d_valid, n_lab_s, n_lab_t
     )
     got_tgt, got_cnt = jax.jit(
-        _vote_2d_device, static_argnames=("n_lab",)
-    )(lab_s, lab_t, c2d_idx, c2d_valid, n_lab=n_lab)
+        _vote_2d_device, static_argnames=("n_lab_s", "n_lab_t")
+    )(lab_s, lab_t, c2d_idx, c2d_valid, n_lab_s=n_lab_s, n_lab_t=n_lab_t)
     got_ok = np.asarray(got_cnt) >= 1
     np.testing.assert_array_equal(got_ok, want_ok)
     np.testing.assert_array_equal(

@@ -267,7 +267,7 @@ def main() -> None:
     # stage as the full RGB+3D method runs it).
     votes = timeit(
         "rgb vote L1",
-        lambda ls, lt, ci, cv: _vote_2d_device(ls, lt, ci, cv, sv_cap),
+        lambda ls, lt, ci, cv: _vote_2d_device(ls, lt, ci, cv, sv_cap, sv_cap),
         lab_s, lab_t, c2d_idx, c2d_ok,
     )
     vote_tgt, vote_cnt = votes
