@@ -47,8 +47,13 @@ cached).
 
 Prints exactly one JSON line.
 Env: BENCH_MODE (e2e|e2e3d|host|knn), BENCH_N (e2e: CORE points per tile,
-the halo ring is added on top — default 100_000; host: tile points;
-knn: epoch points, default 1_000_000).
+the halo ring is added on top — default 1_000_000, the reference's own
+max_pts_per_tile bound (fusion_brienz.yaml:25) and the measured optimum of
+the core-size curve (BASELINE.md r5: bigger cores amortise the fixed ±20 m
+halo better); host: tile points; knn: epoch points, default 1_000_000).
+BENCH_SPLIT=0 measures the reference's full-overlap redundancy instead of
+the production core/halo query split; BENCH_SRC_MARGIN / BENCH_TGT_MARGIN
+override the split margins (defaults 5 / 10 m = max_magnitude / 2x).
 """
 
 from __future__ import annotations
@@ -524,13 +529,13 @@ def main() -> None:
         result = bench_host(int(os.environ.get("BENCH_N", 100_000)))
     elif mode == "e2e3d":
         result = bench_e2e(
-            int(os.environ.get("BENCH_N", 100_000)), with_rgb=False
+            int(os.environ.get("BENCH_N", 1_000_000)), with_rgb=False
         )
     else:
         # Headline: the full RGB+3D fusion method (the BASELINE.json
         # north-star workload), 2D pixel channel inside the device step.
         result = bench_e2e(
-            int(os.environ.get("BENCH_N", 100_000)), with_rgb=True
+            int(os.environ.get("BENCH_N", 1_000_000)), with_rgb=True
         )
     print(json.dumps(result))
 

@@ -42,7 +42,7 @@ def _to_gray(img: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_step", "patch", "search", "g_block"),
+    static_argnames=("grid_step", "patch", "search", "g_block", "o_chunk"),
 )
 def _zncc_core(
     img0: jax.Array,
@@ -50,7 +50,8 @@ def _zncc_core(
     grid_step: int,
     patch: int,
     search: int,
-    g_block: int = 1024,
+    g_block: int = 512,
+    o_chunk: int = 128,
 ):
     h, w = img0.shape
     half = patch // 2
@@ -66,6 +67,15 @@ def _zncc_core(
     dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
     doffs = jnp.stack([dy.reshape(-1), dx.reshape(-1)], axis=1)  # (O, 2)
     O = doffs.shape[0]
+    # Candidate offsets are streamed in chunks: materialising the full
+    # (B, O, p², 2) gather index tensor is O(21 GB) at a production-size
+    # search (±50 px → O = 101², the widened max_flow_px window) — only a
+    # (B, o_chunk, p²) slab is ever live, while the assembled (B, O)
+    # correlation surface (a few MB) keeps the sub-pixel parabola exact.
+    o_chunk = min(o_chunk, O)
+    o_pad = (-O) % o_chunk
+    doffs_p = jnp.pad(doffs, ((0, o_pad), (0, 0)), mode="edge")
+    n_oc = doffs_p.shape[0] // o_chunk
 
     py, px = jnp.meshgrid(
         jnp.arange(-half, patch - half), jnp.arange(-half, patch - half),
@@ -81,21 +91,28 @@ def _zncc_core(
         t_norm = jnp.sqrt(jnp.sum(t * t, axis=1, keepdims=True)) + 1e-6
         t = t / t_norm
 
-        # Candidate vectors from img1: (B, O, p²).
-        pos1 = (
-            cblock[:, None, None, :]
-            + doffs[None, :, None, :]
-            + prel[None, None, :, :]
-        )
-        c = img1[pos1[..., 0], pos1[..., 1]]
-        c = c - jnp.mean(c, axis=2, keepdims=True)
-        c_norm = jnp.sqrt(jnp.sum(c * c, axis=2, keepdims=True)) + 1e-6
-        c = c / c_norm
+        def ostep(_, dchunk):
+            # Candidate vectors from img1: (B, Oc, p²).
+            pos1 = (
+                cblock[:, None, None, :]
+                + dchunk[None, :, None, :]
+                + prel[None, None, :, :]
+            )
+            c = img1[pos1[..., 0], pos1[..., 1]]
+            c = c - jnp.mean(c, axis=2, keepdims=True)
+            c_norm = jnp.sqrt(jnp.sum(c * c, axis=2, keepdims=True)) + 1e-6
+            c = c / c_norm
+            # Correlations of the chunk in one batched matmul (MXU).
+            return None, jnp.einsum(
+                "bop,bp->bo", c, t, preferred_element_type=jnp.float32
+            )
 
-        # All correlations in one batched matmul (MXU).
-        corr = jnp.einsum(
-            "bop,bp->bo", c, t, preferred_element_type=jnp.float32
-        )  # (B, O)
+        _, corr_c = jax.lax.scan(
+            ostep, None, doffs_p.reshape(n_oc, o_chunk, 2)
+        )  # (n_oc, B, Oc)
+        corr = jnp.transpose(corr_c, (1, 0, 2)).reshape(
+            cblock.shape[0], -1
+        )[:, :O]  # (B, O)
         best = jnp.argmax(corr, axis=1)
         score = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
 
@@ -260,10 +277,33 @@ def match_epoch_images(
                 med, int(bound),
             )
 
+    def _fallback_if_empty(merged):
+        """RoMa's per-crop self-check can empty every crop (the compact
+        model is measured unreliable at production shapes) — fall back to
+        the classical ZNCC matcher instead of returning an empty channel."""
+        if merged.shape[0] or matcher.lower() not in ("roma", "romav2"):
+            return merged
+        if logger is not None:
+            logger.warning(
+                "img_matching_type=%s produced no self-check-consistent "
+                "matches — falling back to the ZNCC matcher", matcher,
+            )
+        zkw = {
+            k: v
+            for k, v in kw.items()
+            if k in ("grid_step", "patch", "search", "min_score",
+                     "min_texture")
+        }
+        return match_epoch_images(
+            img0, img1, matcher="zncc", crop_size=crop_size,
+            overlap_size=overlap_size, cross_crops=cross_crops,
+            max_flow_px=max_flow_px, logger=logger, **zkw,
+        )
+
     if crop_size is None:
         out = fn(img0, img1, **kw)
         _warn_near_bound(out)
-        return out
+        return _fallback_if_empty(out)
     ch, cw = crop_size
     oh, ow = overlap_size or (ch // 2, cw // 2)
     sh, sw = max(ch - oh, 1), max(cw - ow, 1)
@@ -296,7 +336,7 @@ def match_epoch_images(
                     m = m + np.asarray([x0, y0, x1, y1], np.float32)
                     out.append(m)
     if not out:
-        return np.zeros((0, 4), np.float32)
+        return _fallback_if_empty(np.zeros((0, 4), np.float32))
     merged = np.concatenate(out, axis=0)
     # Dedup overlapping-crop duplicates by (u0, v0) pixel cell.
     key = (merged[:, 1].round().astype(np.int64) * (w + 1)
@@ -304,7 +344,7 @@ def match_epoch_images(
     _, first = np.unique(key, return_index=True)
     merged = merged[np.sort(first)]
     _warn_near_bound(merged)
-    return merged
+    return _fallback_if_empty(merged)
 
 
 LOFTR_WEIGHT_SEARCH_PATHS = (
@@ -494,6 +534,9 @@ def _roma_matcher(
     num_matches: int = 5000,
     min_certainty: float = 0.3,
     work_size: int = 224,
+    fb_px: float = 6.0,
+    fb_min_frac: float = 0.15,
+    logger=None,
     **_,
 ):
     """RoMa-family dense matcher (image.roma): the reference's
@@ -501,13 +544,27 @@ def _roma_matcher(
     2097-2229 — match → certainty-weighted sample → pixel coordinates).
     Images are resized to ``work_size`` for the GP coarse stage (the
     published model fixes 560 px the same way); matches are mapped back
-    to full-image coordinates."""
+    to full-image coordinates.
+
+    Every call self-checks by forward-backward warp consistency
+    (``roma_fb_error_px``): matches whose round-trip error exceeds
+    ``fb_px`` (at work resolution) are dropped, and when fewer than
+    ``fb_min_frac`` of certainty-weighted pixels survive the whole crop is
+    declared unmatched (empty result + warning) — the compact
+    in-environment model is measured unreliable outside its training
+    distribution, and silently emitting noise matches would poison the RGB
+    channel. ``match_epoch_images`` falls back to ZNCC when every crop
+    comes back empty. Threshold calibration (measured): the trained
+    compact model in-distribution scores ~0.36 certainty-weighted
+    consistency at 6 px, while the same weights at production 960x1280
+    crops (the r4 EPE-737px failure) score 0.002 and a random init 0.013
+    — fb_min_frac=0.15 separates them by >10x on both sides."""
     import jax
 
     from fusion4landslide_tpu.image.roma import (
         RoMaMatcher,
         load_roma_weights,
-        roma_match,
+        roma_fb_error_px,
         roma_sample,
         roma_to_pixel_coordinates,
     )
@@ -538,8 +595,27 @@ def _roma_matcher(
         g1 = g1.mean(axis=-1)
     r0 = jax.image.resize(g0, (work_size, work_size), "bilinear")
     r1 = jax.image.resize(g1, (work_size, work_size), "bilinear")
-    warp, cert = roma_match(params, r0, r1, model=model)
-    matches, c = roma_sample(warp, cert, num=num_matches)
+    warp, cert, err_px = roma_fb_error_px(params, r0, r1, model=model)
+    consistent = err_px <= fb_px
+    cert_sum = float(jnp.sum(cert))
+    frac = float(
+        jnp.sum(cert * consistent) / max(cert_sum, 1e-9)
+    )
+    if frac < fb_min_frac:
+        import warnings
+
+        msg = (
+            f"roma self-check failed: only {100 * frac:.1f}% of "
+            f"certainty-weighted pixels are forward-backward consistent "
+            f"within {fb_px} px at work resolution — returning no matches "
+            "for this crop (the matcher is unreliable at these shapes)"
+        )
+        if logger is not None:
+            logger.warning(msg)
+        else:
+            warnings.warn(msg, stacklevel=2)
+        return np.zeros((0, 4), np.float32)
+    matches, c = roma_sample(warp, cert * consistent, num=num_matches)
     ka, kb = roma_to_pixel_coordinates(matches, h0, w0, h1, w1)
     ka = np.asarray(ka)
     kb = np.asarray(kb)

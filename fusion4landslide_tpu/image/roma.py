@@ -326,6 +326,27 @@ def roma_match(params, img0, img1, *, model: RoMaMatcher | None = None):
     return _roma_forward(params, img0, img1, model)
 
 
+def roma_fb_error_px(params, img0, img1, *, model: RoMaMatcher | None = None):
+    """Forward-backward consistency of the dense warp, in pixels.
+
+    Matches A→B and B→A, composes them, and returns (warp_f, cert_f,
+    err_px (h, w)) where ``err_px`` is each A-pixel's round-trip error.
+    Standard dense-flow self-check: a matcher emitting noise (the failure
+    mode of an out-of-distribution compact model at production crop sizes)
+    cannot be round-trip consistent except by chance, so gating matches on
+    ``err_px`` turns silent garbage into an explicit empty/fallback result.
+    """
+    model = model or RoMaMatcher()
+    warp_f, cert_f = roma_match(params, img0, img1, model=model)
+    warp_b, _ = roma_match(params, img1, img0, model=model)
+    h, w, _ = warp_f.shape
+    grid = _coord_grid(h, w)
+    back = grid_sample(warp_b, warp_f)  # B→A warp sampled at A's targets
+    dx = (back[..., 0] - grid[..., 0]) * 0.5 * w
+    dy = (back[..., 1] - grid[..., 1]) * 0.5 * h
+    return warp_f, cert_f, jnp.sqrt(dx * dx + dy * dy)
+
+
 def roma_sample(warp, certainty, num: int = 10000, key=None):
     """``roma_model.sample`` equivalent: certainty-weighted draw of
     ``num`` matches. Returns ((num, 4) normalised [xA, yA, xB, yB],

@@ -6,6 +6,7 @@ matches with no diagnostic)."""
 import logging
 
 import numpy as np
+import pytest
 
 from fusion4landslide_tpu.image import matching as M
 
@@ -93,3 +94,28 @@ def test_cross_crop_pairing_finds_large_motion(rng, monkeypatch):
         max_flow_px=float(shift),
     )
     assert auto.shape[0] > 0
+
+
+@pytest.mark.slow
+def test_zncc_production_search_size(rng):
+    """The widened ±50 px search at a production 960x1280 crop used to
+    OOM at compile time (a 21.4 GB (B, O, p², 2) gather-index tensor);
+    the offset-chunked scan bounds the live slab. Grid thinned for CPU
+    runtime — the memory shape under test is the (patch², offsets)
+    product, which is production-exact."""
+    import fusion4landslide_tpu.image.matching as M
+
+    h, w = 960, 1280
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img0 = (
+        np.sin(xx * 0.37) * 40 + np.cos(yy * 0.23) * 40
+        + rng.normal(scale=6.0, size=(h, w))
+    ).astype(np.float32)
+    flow = 25
+    img1 = np.roll(img0, (0, flow), axis=(0, 1))
+    m = M.zncc_grid_match(
+        img0, img1, grid_step=64, search=50, min_score=0.7
+    )
+    assert m.shape[0] > 50
+    med = np.median(m[:, 2] - m[:, 0])
+    assert abs(med - flow) < 0.5

@@ -7,7 +7,13 @@ optimisation budget is always itemised. Results are synced by a host
 transfer (on the tunnelled backend ``block_until_ready`` returns at
 dispatch-ack).
 
-Usage: python tools/probe_stages.py [N]
+Usage: python tools/probe_stages.py [N_CORE] [--full]
+
+Default geometry mirrors ``bench.py``'s core/halo query split (src = core
++ 5 m margin, tgt = core + 10 m margin, 20 m halo, 100 pts/m^2) with
+asymmetric src/tgt buckets and per-side superpoint caps; ``--full`` probes
+the symmetric full-overlap clouds of N_CORE points each (the pre-split
+round-3/4 shape, src == tgt bucket).
 """
 
 from __future__ import annotations
@@ -22,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--full" in sys.argv[1:]
+    n = int(args[0]) if args else 100_000
     from fusion4landslide_tpu.utils.platform import apply_platform_from_env
 
     # Honours F4L_PLATFORM and enables the compile cache, like the other
@@ -31,7 +39,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from bench import _keepalive, _models, synth_epoch_pair
+    from bench import (
+        _keepalive,
+        _models,
+        synth_epoch_pair,
+        synth_split_tile,
+    )
     from fusion4landslide_tpu.ops.hashgrid import (
         knn_grid_traced,
         median_nn_distance_traced,
@@ -59,14 +72,28 @@ def main() -> None:
 
     stop = _keepalive()
     dips_params, agg_params = _models()
-    src_np, tgt_np, extent = synth_epoch_pair(n)
-    N = bucket_size(n)
+    if full:
+        src_np, tgt_np, extent = synth_epoch_pair(n)
+        nq = mt = n
+    else:
+        src_np, tgt_np, _core, _moving = synth_split_tile(n, 5.0, 10.0)
+        nq, mt = len(src_np), len(tgt_np)
+    N = bucket_size(nq)
+    M = bucket_size(mt)
     c = src_np.mean(axis=0)
-    src = jnp.zeros((N, 3), jnp.float32).at[:n].set(src_np - c)
-    tgt = jnp.zeros((N, 3), jnp.float32).at[:n].set(tgt_np - c)
-    mask = jnp.arange(N) < n
+    src = jnp.zeros((N, 3), jnp.float32).at[:nq].set(src_np - c)
+    tgt = jnp.zeros((M, 3), jnp.float32).at[:mt].set(tgt_np - c)
+    mask = jnp.arange(N) < nq
+    tmask_arr = jnp.arange(M) < mt
     key = jax.random.PRNGKey(0)
     sv_cap = max(bucket_size(max(N // 16, 1)), 64)
+    sv_cap_t = max(bucket_size(max(M // 16, 1)), 64)
+    print(
+        f"# src {nq} pts in bucket {N} (sv_cap {sv_cap}), "
+        f"tgt {mt} pts in bucket {M} (sv_cap {sv_cap_t}), "
+        f"{'full-overlap' if full else 'core/halo split'}",
+        flush=True,
+    )
     timings: dict[str, float] = {}
 
     def timeit(name, fn, *args, reps=3, **kw):
@@ -96,7 +123,7 @@ def main() -> None:
             median_nn_distance_traced(a, ma),
             median_nn_distance_traced(b, mb),
         ),
-        src, tgt, mask, mask,
+        src, tgt, mask, tmask_arr,
     )
     median_res = jnp.maximum(res[0], res[1])
     radius = jnp.sqrt(3.0) * 10.0 * median_res
@@ -107,11 +134,11 @@ def main() -> None:
             voxel_downsample(a, r, ma),
             voxel_downsample(b, r, mb),
         ),
-        src, tgt, mask, mask, median_res,
+        src, tgt, mask, tmask_arr, median_res,
     )
     (s_cent, s_p2v, _, s_nv), (t_cent, t_p2v, _, t_nv) = vox
     vvalid_s = jnp.arange(N) < s_nv
-    vvalid_t = jnp.arange(N) < t_nv
+    vvalid_t = jnp.arange(M) < t_nv
 
     feat_kw = dict(
         k_max=512, patch_points=256, chunk=2048, dtype="bfloat16",
@@ -124,16 +151,25 @@ def main() -> None:
     tgt_feat = timeit(
         "dips_features (tgt)",
         lambda *a: dips_features_device(*a, query_count=t_nv, **feat_kw),
-        dips_params, t_cent, tgt, mask, radius, key,
+        dips_params, t_cent, tgt, tmask_arr, radius, key,
     )
 
+    from fusion4landslide_tpu.ops.gated_match import gated_feature_nn1
+
     gout = timeit(
-        "global_matches_3d",
+        "global_matches_3d (gated)",
+        lambda *a: gated_feature_nn1(*a),
+        src_feat, tgt_feat, s_cent, t_cent,
+        jnp.asarray(5.0, jnp.float32), vvalid_s, vvalid_t,
+    )
+    _, g_idx, g_valid = gout
+    brute = timeit(
+        "global_matches_3d (brute)",
         lambda *a: global_matches_3d(*a),
         src_feat, tgt_feat, s_cent, t_cent,
         jnp.asarray(5.0, jnp.float32), vvalid_s, vvalid_t,
     )
-    g_idx, g_valid = gout
+    timings.pop("global_matches_3d (brute)")  # informational; gated is prod
 
     # RGB 2D channel of the full fusion method: voxel-cloud projection +
     # pixel->voxel chaining (grid 1-NN in pixel space).
@@ -144,7 +180,16 @@ def main() -> None:
         _vote_2d_device,
     )
 
-    pix_np, K_np, E_np, _ = synth_image_channel(src_np, tgt_np, n // 2)
+    # Pixel matches pair each src point with its true displaced position
+    # (src/tgt crops are different subsets under the split).
+    from bench import PLANTED_SHIFT
+
+    if full:
+        tgt_of_src = tgt_np  # aligned arrays (same points, shifted half)
+    else:
+        tgt_of_src = src_np.copy()
+        tgt_of_src[_moving] += PLANTED_SHIFT
+    pix_np, K_np, E_np, _ = synth_image_channel(src_np, tgt_of_src, nq // 2)
     Pc = bucket_size(len(pix_np))
     pixb = (
         jnp.zeros((Pc, 4), jnp.float32).at[: len(pix_np)].set(
@@ -209,7 +254,7 @@ def main() -> None:
         "segment_centroids L2 x2",
         lambda a, b, ls, lt, ns, nt, r: (
             _segment_centroids(a, ls, sv_cap, ns, r * 2, 15),
-            _segment_centroids(b, lt, sv_cap, nt, r * 2, 15),
+            _segment_centroids(b, lt, sv_cap_t, nt, r * 2, 15),
         ),
         s_cent, t_cent, lab_s, lab_t, n_s, n_t, base_svl,
     )
@@ -218,7 +263,7 @@ def main() -> None:
         "label_members x2",
         lambda ls, lt: (
             label_members(ls, sv_cap, 512),
-            label_members(lt, sv_cap, 512),
+            label_members(lt, sv_cap_t, 512),
         ),
         lab_s, lab_t,
     )
@@ -240,7 +285,7 @@ def main() -> None:
     (spt_feat_s, spt_coord_s), (spt_feat_t, spt_coord_t) = agg
 
     svalid_s = jnp.arange(sv_cap) < n_s
-    svalid_t = jnp.arange(sv_cap) < n_t
+    svalid_t = jnp.arange(sv_cap_t) < n_t
     cm = timeit(
         "coarse_match",
         lambda *a: coarse_match_superpoints_chunked(*a, 5.0),
@@ -267,7 +312,7 @@ def main() -> None:
     # stage as the full RGB+3D method runs it).
     votes = timeit(
         "rgb vote L1",
-        lambda ls, lt, ci, cv: _vote_2d_device(ls, lt, ci, cv, sv_cap, sv_cap),
+        lambda ls, lt, ci, cv: _vote_2d_device(ls, lt, ci, cv, sv_cap, sv_cap_t),
         lab_s, lab_t, c2d_idx, c2d_ok,
     )
     vote_tgt, vote_cnt = votes
@@ -311,7 +356,7 @@ def main() -> None:
     timeit(
         "sparse knn_grid (assign_then_nn)",
         lambda q, r, mr: knn_grid_traced(
-            q, r, 1, r0=2.0 * mr, ref_mask=mask, query_mask=mask,
+            q, r, 1, r0=2.0 * mr, ref_mask=tmask_arr, query_mask=mask,
             r_max=mr * 8.0,
         ),
         src, tgt, median_res,

@@ -168,12 +168,12 @@ def planted_flow(
     v = (h - vv) if v_flip else vv
     d_cam = np.stack([uu, v, np.ones_like(uu)], axis=-1) @ Kinv.T
     d_w = d_cam @ Rcw.T
-    s = np.full(len(uu), C[2], np.float64)
-    for _ in range(6):
-        px = C[0] + s * d_w[:, 0]
-        py = C[1] + s * d_w[:, 1]
-        gz = terrain_z(px, py)
-        s = (C[2] - gz) / np.maximum(-d_w[:, 2], 1e-9)
+    # FIRST terrain hit (correct for oblique cameras with occluding
+    # relief; reduces to the old fixed-point answer for nadir views).
+    s_max = 2.0 * np.linalg.norm(
+        np.array([extent, extent, 0.0]) - C
+    ) + 4.0 * extent
+    s, _hit = _first_hit(C, d_w, float(s_max))
     p = np.stack(
         [C[0] + s * d_w[:, 0], C[1] + s * d_w[:, 1], C[2] + s * d_w[:, 2]],
         axis=-1,
@@ -187,3 +187,203 @@ def planted_flow(
     if v_flip:
         v_t = h - v_t
     return np.stack([u_t, v_t], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Hard-mode scene (round-5): the friendly scene above cannot fail — uniform
+# density, pure-translation motion, nadir camera, no occlusion. These
+# variants exercise the failure modes real TLS landslide data has
+# (reference ground-truth practice: Rockfall Simulator + two real sites,
+# /root/reference/README.md:83).
+# ---------------------------------------------------------------------------
+
+
+def make_epoch_pair_hard(
+    n: int,
+    shift=(0.05, -0.02, 0.01),
+    rot_deg: float = 0.5,
+    density: float = DEFAULT_DENSITY,
+    seed: int = 0,
+    scanner=None,
+):
+    """Epoch pair with TLS-like variable density and a ROTATING moving
+    block.
+
+    - Density falls off with range from a corner ``scanner`` position as
+      1/(1 + r/extent) (terrestrial scans thin with distance), so voxel
+      sizes, patch populations, and kNN radii vary across the tile.
+    - The moving region is a DISC (curved boundary through supervoxels),
+      rotated by ``rot_deg`` about the vertical axis through its centre
+      and then translated by ``shift`` — per-point displacement varies
+      over the block, so a matcher that only recovers translations fails.
+
+    Returns (src, tgt, extent, moving_mask, true_disp (n, 3)).
+    """
+    rng = np.random.default_rng(seed)
+    extent = float(np.sqrt(n / density))
+    scanner = np.asarray(
+        scanner if scanner is not None else (0.0, 0.0), np.float64
+    )
+    # Rejection-sample the range-falloff density (acceptance >= 1/3).
+    pts = []
+    need = n
+    while need > 0:
+        cand = rng.uniform(0, extent, size=(int(need * 3.5) + 64, 2))
+        r = np.linalg.norm(cand - scanner, axis=1)
+        accept = rng.random(len(cand)) < 1.0 / (1.0 + 2.0 * r / extent)
+        cand = cand[accept]
+        pts.append(cand[:need])
+        need -= len(cand[:need])
+    xy = np.concatenate(pts, axis=0)[:n]
+    z = terrain_z(xy[:, 0], xy[:, 1], noise=0.02, rng=rng)
+    src = np.column_stack([xy, z]).astype(np.float32)
+
+    centre = np.array([0.68 * extent, 0.55 * extent], np.float64)
+    radius = 0.22 * extent
+    moving = np.linalg.norm(xy - centre, axis=1) < radius
+    th = np.deg2rad(rot_deg)
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0.0],
+         [np.sin(th), np.cos(th), 0.0],
+         [0.0, 0.0, 1.0]],
+        np.float64,
+    )
+    c3 = np.array([centre[0], centre[1], 0.0], np.float64)
+    tgt = src.astype(np.float64).copy()
+    tgt[moving] = (tgt[moving] - c3) @ R.T + c3 + np.asarray(shift, np.float64)
+    true_disp = (tgt - src).astype(np.float32)
+    return src, tgt.astype(np.float32), extent, moving, true_disp
+
+
+def oblique_camera(
+    extent: float,
+    image_size,
+    elev_deg: float = 40.0,
+    azim_deg: float = 25.0,
+    margin: float = 1.25,
+):
+    """(K, extrinsic 4x4, camera centre) for an OBLIQUE camera looking at
+    the terrain centre from elevation ``elev_deg`` above the horizon at
+    azimuth ``azim_deg`` — the reference's real camera stations are
+    terrestrial obliques, not nadir drones. Conventions match
+    ``image.geometry.project_points`` (+z camera depth; v_flip handled by
+    the caller exactly as for ``nadir_camera``)."""
+    h, w = image_size
+    el = np.deg2rad(elev_deg)
+    az = np.deg2rad(azim_deg)
+    target = np.array([extent / 2.0, extent / 2.0, 0.0], np.float64)
+    dist = 2.2 * extent
+    C = target + dist * np.array(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)],
+        np.float64,
+    )
+    fwd = target - C
+    fwd /= np.linalg.norm(fwd)
+    up_w = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up_w)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)  # camera +y (image v grows downward pre-flip)
+    Rcw = np.stack([right, down, fwd], axis=1)  # camera→world columns
+    f = min(h, w) * dist / (extent * margin)
+    K = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]], np.float64)
+    pose = np.eye(4)
+    pose[:3, :3] = Rcw
+    pose[:3, 3] = C
+    return K, np.linalg.inv(pose), C
+
+
+def _first_hit(C, d_w, s_max, coarse: int = 192, refine: int = 25):
+    """FIRST terrain intersection along rays p = C + s*d (hidden-surface
+    removal): coarse sign-change scan over ``coarse`` samples of s, then
+    bisection. Returns (s_hit, hit_mask)."""
+    shape = d_w.shape[:-1]
+    s_lo = np.zeros(shape)
+    s_hi = np.full(shape, s_max)
+    found = np.zeros(shape, bool)
+    prev_s = np.full(shape, 1e-3)
+    prev_f = (
+        C[2] + prev_s * d_w[..., 2]
+        - terrain_z(C[0] + prev_s * d_w[..., 0], C[1] + prev_s * d_w[..., 1])
+    )
+    for i in range(1, coarse + 1):
+        s = 1e-3 + (s_max - 1e-3) * i / coarse
+        px = C[0] + s * d_w[..., 0]
+        py = C[1] + s * d_w[..., 1]
+        f = C[2] + s * d_w[..., 2] - terrain_z(px, py)
+        cross = ~found & (prev_f > 0) & (f <= 0)
+        s_lo = np.where(cross, prev_s, s_lo)
+        s_hi = np.where(cross, s, s_hi)
+        found |= cross
+        prev_s, prev_f = np.full(shape, s), f
+    for _ in range(refine):
+        mid = 0.5 * (s_lo + s_hi)
+        f = (
+            C[2] + mid * d_w[..., 2]
+            - terrain_z(
+                C[0] + mid * d_w[..., 0], C[1] + mid * d_w[..., 1]
+            )
+        )
+        s_hi = np.where(f <= 0, mid, s_hi)
+        s_lo = np.where(f <= 0, s_lo, mid)
+    return 0.5 * (s_lo + s_hi), found
+
+
+def render_image_occluded(
+    image_size,
+    K: np.ndarray,
+    extrinsic: np.ndarray,
+    extent: float,
+    *,
+    shift=None,
+    seed: int = 3,
+    v_flip: bool = True,
+):
+    """Like :func:`render_image` but with hidden-surface removal — correct
+    for oblique cameras where near relief occludes far terrain. Pixels
+    whose ray never crosses the terrain (sky) render as 0. The planted
+    ``shift`` applies to the x > extent/2 half as in :func:`render_image`
+    (texture advection; the metre-scale shifts do not change visibility
+    at these relief/altitude ratios)."""
+    h, w = image_size
+    pose = np.linalg.inv(extrinsic)
+    Rcw = pose[:3, :3]
+    C = pose[:3, 3]
+    Kinv = np.linalg.inv(K)
+    u = np.arange(w, dtype=np.float64) + 0.5
+    v_img = np.arange(h, dtype=np.float64) + 0.5
+    uu, vv = np.meshgrid(u, v_img)
+    v = (h - vv) if v_flip else vv
+    d_cam = np.stack([uu, v, np.ones_like(uu)], axis=-1) @ Kinv.T
+    d_w = d_cam @ Rcw.T
+    s_max = 2.0 * np.linalg.norm(
+        np.array([extent, extent, 0.0]) - C
+    ) + 4.0 * extent
+    s, hit = _first_hit(C, d_w, s_max)
+    px = C[0] + s * d_w[..., 0]
+    py = C[1] + s * d_w[..., 1]
+    if shift is not None:
+        sx, sy, _ = shift
+        moving = px > extent / 2.0
+        px = np.where(moving, px - sx, px)
+        py = np.where(moving, py - sy, py)
+    tex = texture(px.astype(np.float32), py.astype(np.float32), seed=seed)
+    return np.clip(tex * 255.0 * hit, 0, 255).astype(np.uint8)
+
+
+def visible_in_view(
+    points: np.ndarray,
+    K: np.ndarray,
+    extrinsic: np.ndarray,
+    extent: float,
+    tol: float = 0.05,
+) -> np.ndarray:
+    """True where each world point is the FIRST terrain hit along its
+    viewing ray (not occluded by nearer relief) — the shadowing mask an
+    oblique view induces."""
+    pose = np.linalg.inv(extrinsic)
+    C = pose[:3, 3]
+    d = points - C
+    dist = np.linalg.norm(d, axis=1)
+    d_w = d / dist[:, None]
+    s, hit = _first_hit(C, d_w, float(dist.max()) * 1.05)
+    return hit & (np.abs(s - dist) <= tol * dist.clip(min=1.0))
