@@ -36,6 +36,12 @@ def setup_run(config_path: str, method: str, keep_sub_directory: bool = False):
     os.makedirs(log_dir, exist_ok=True)
     logger = get_logger(f"fusion4landslide_tpu.{method}", log_dir)
     cfg.tile_dir = osp.join(cfg.output_root, "tiled_data")
+    # Tunnelled-TPU sessions idle out during long host-side phases and
+    # background compiles, leaving the driver futex-blocked on its next
+    # device call; a daemon ping prevents it (no-op on CPU).
+    from fusion4landslide_tpu.utils.platform import start_device_keepalive
+
+    start_device_keepalive()
     return cfg, logger
 
 
@@ -219,9 +225,17 @@ def halo_split_spec(cfg) -> tuple[float, float] | None:
     if not bool(cfg.get("halo_query_split", True)):
         return None
     halo = float(cfg.get("tile_halo", 20.0))
-    mm = float(cfg.get("max_magnitude", 10.0))
+    # Displacement gate: fusion/rgb_guided use max_magnitude, f2s3 uses
+    # max_disp_magnitude (0/absent = ungated → no safe margin → no split).
+    mm = float(
+        cfg.get("max_magnitude", 0)
+        or cfg.get("max_disp_magnitude", 0)
+        or 0.0
+    )
+    if mm <= 0 and "halo_src_margin" not in cfg:
+        return None
     sm = min(float(cfg.get("halo_src_margin", mm)), halo)
-    tm = min(float(cfg.get("halo_tgt_margin", 2.0 * mm)), halo)
+    tm = min(float(cfg.get("halo_tgt_margin", max(2.0 * mm, sm))), halo)
     if sm >= halo and tm >= halo:
         return None  # margins cover the halo — identical to the full clouds
     return sm, tm

@@ -101,7 +101,12 @@ def _dips_chunks_mapped(dips_params, qs, xs, vs, radius, *, precision,
                      (qs, xs, vs)),
     )
     nv = jnp.asarray(n_valid, jnp.int32)
-    gsize = -(-nc // min(4, nc))
+    # 16 cond groups (was 4): live labels are prefix-compacted, so the
+    # real supervoxel count (~4-10x below the cap at production shapes)
+    # occupies the first slots and finer groups skip more dead work —
+    # measured fine 10.4 s -> see BASELINE r5; a per-chunk cond (hundreds
+    # of groups) blew XLA compile ~4x in round 3, 16 stays cheap.
+    gsize = -(-nc // min(16, nc))
     outs = []
     start = 0
     while start < nc:

@@ -240,7 +240,12 @@ def aggregate_superpoints(
         ),
     )
     chunk_live = jnp.any(mpc, axis=(1, 2))
-    gsize = -(-nc // min(4, nc))
+    # 16 cond groups (was 4): live labels are prefix-compacted, so the
+    # real supervoxel count (~4-10x below the cap at production shapes)
+    # occupies the first slots and finer groups skip more dead work —
+    # measured fine 10.4 s -> see BASELINE r5; a per-chunk cond (hundreds
+    # of groups) blew XLA compile ~4x in round 3, 16 stays cheap.
+    gsize = -(-nc // min(16, nc))
     outs = []
     start = 0
     while start < nc:
@@ -461,7 +466,12 @@ def fine_match_pairs(
     # nested tile maps blew XLA compile time ~4x there).
     f32 = src_vox.dtype
     chunk_live = jnp.any((plc >= 0) & jnp.any(mmc, axis=-1), axis=-1)
-    gsize = -(-nc // min(4, nc))
+    # 16 cond groups (was 4): live labels are prefix-compacted, so the
+    # real supervoxel count (~4-10x below the cap at production shapes)
+    # occupies the first slots and finer groups skip more dead work —
+    # measured fine 10.4 s -> see BASELINE r5; a per-chunk cond (hundreds
+    # of groups) blew XLA compile ~4x in round 3, 16 stays cheap.
+    gsize = -(-nc // min(16, nc))
     outs = []
     start = 0
     while start < nc:

@@ -17,7 +17,50 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["apply_platform_from_env", "enable_compile_cache"]
+__all__ = [
+    "apply_platform_from_env",
+    "enable_compile_cache",
+    "start_device_keepalive",
+]
+
+_KEEPALIVE = {"stop": None}
+
+
+def start_device_keepalive(interval: float = 20.0):
+    """Ping the device from a daemon thread so a tunnelled/remote TPU
+    session cannot idle out during minutes-long host-side phases (image
+    matching, PLY IO) or background compiles — the failure mode is a
+    driver blocked forever in a futex on its next device call. bench.py
+    has carried this guard since round 2; this makes it available to the
+    CLI drivers. No-op on CPU backends and when called twice. Returns a
+    ``threading.Event`` that stops the thread (or None when inactive)."""
+    if _KEEPALIVE["stop"] is not None:
+        return _KEEPALIVE["stop"]
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return None
+        import threading
+
+        import jax.numpy as jnp
+
+        stop = threading.Event()
+
+        def loop():
+            x = jnp.ones((8,))
+            while not stop.is_set():
+                try:
+                    float(jnp.sum(x))
+                except Exception:
+                    pass
+                stop.wait(interval)
+
+        threading.Thread(target=loop, daemon=True).start()
+        _KEEPALIVE["stop"] = stop
+        return stop
+    except Exception:  # pragma: no cover - best-effort guard
+        return None
 
 
 def enable_compile_cache() -> None:

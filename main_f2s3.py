@@ -73,6 +73,17 @@ def main() -> None:
 
     dips_params, filt_params = load_model_params(cfg)
 
+    # Core/halo query split (see main_fusion.py / pipelines.driver): the
+    # margin derives from max_disp_magnitude for F2S3.
+    from fusion4landslide_tpu.pipelines.driver import halo_split_spec
+
+    split = halo_split_spec(cfg)
+    if split is not None:
+        logger.info(
+            "Core/halo query split: src margin %.1f m, tgt margin %.1f m",
+            split[0], split[1],
+        )
+
     import jax
 
     use_mesh = cfg.get("use_mesh", "auto")
@@ -94,9 +105,15 @@ def main() -> None:
             tile_size_buckets,
         )
 
-        n_bucket, m_bucket = tile_size_buckets(tiles)
+        n_bucket, m_bucket = tile_size_buckets(
+            tiles, split=split, halo=float(cfg.get("tile_halo", 20.0))
+        )
         lazy = (
-            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
+            (tid, s.points, t.points)
+            for tid, s, t in iter_tile_clouds(
+                tiles, split=split, budgets=(n_bucket, m_bucket),
+                logger=logger,
+            )
         )
         run_f2s3_tiles_sharded(
             cfg, dips_params, filt_params, lazy, logger=logger,
@@ -105,7 +122,9 @@ def main() -> None:
     else:
         from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
 
-        for tile_id, src, tgt in iter_tile_clouds(tiles):
+        for tile_id, src, tgt in iter_tile_clouds(
+            tiles, split=split, logger=logger
+        ):
             logger.info("Processing tile %s", tile_id)
             run_f2s3_tile(
                 cfg,

@@ -67,6 +67,15 @@ def main() -> None:
         osp.join(input_root, "image", "raw_images", cfg.get("tgt_image"))
     )
 
+    from fusion4landslide_tpu.pipelines.driver import halo_split_spec
+
+    split = halo_split_spec(cfg)
+    if split is not None:
+        logger.info(
+            "Core/halo query split: src margin %.1f m, tgt margin %.1f m",
+            split[0], split[1],
+        )
+
     import jax
 
     use_mesh = cfg.get("use_mesh", "auto")
@@ -97,9 +106,15 @@ def main() -> None:
         logger.info(
             "Sharding %d tiles over %d devices", len(tiles), jax.device_count()
         )
-        n_bucket, m_bucket = tile_size_buckets(tiles)
+        n_bucket, m_bucket = tile_size_buckets(
+            tiles, split=split, halo=float(cfg.get("tile_halo", 20.0))
+        )
         lazy = (
-            (tid, s.points, t.points) for tid, s, t in iter_tile_clouds(tiles)
+            (tid, s.points, t.points)
+            for tid, s, t in iter_tile_clouds(
+                tiles, split=split, budgets=(n_bucket, m_bucket),
+                logger=logger,
+            )
         )
         run_rgb_guided_tiles_sharded(
             cfg, lazy, src_img, tgt_img, intrinsic, src_ext, tgt_ext,
@@ -110,7 +125,9 @@ def main() -> None:
 
     from fusion4landslide_tpu.pipelines.driver import iter_tile_clouds
 
-    for tile_id, src, tgt in iter_tile_clouds(tiles):
+    for tile_id, src, tgt in iter_tile_clouds(
+        tiles, split=split, logger=logger
+    ):
         logger.info("Processing tile %s", tile_id)
         run_rgb_guided_tile(
             cfg,

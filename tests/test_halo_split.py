@@ -37,6 +37,13 @@ def test_halo_split_spec_defaults():
         {"max_magnitude": 5.0, "halo_src_margin": 2.0, "halo_tgt_margin": 30.0}
     )
     assert halo_split_spec(cfg) == (2.0, 20.0)
+    # F2S3 spells its gate max_disp_magnitude.
+    assert halo_split_spec(Config({"max_disp_magnitude": 3.0})) == (3.0, 6.0)
+    # No displacement gate and no explicit margin -> no safe split.
+    assert halo_split_spec(Config({})) is None
+    # Explicit src margin without a gate: tgt margin defaults >= src.
+    cfg = Config({"halo_src_margin": 4.0})
+    assert halo_split_spec(cfg) == (4.0, 4.0)
 
 
 def test_crop_cloud_to_core_budget(rng):
