@@ -51,7 +51,7 @@ def _zncc_core(
     patch: int,
     search: int,
     g_block: int = 512,
-    o_chunk: int = 128,
+    o_chunk: int = 128,  # kept for call compatibility; unused
 ):
     h, w = img0.shape
     half = patch // 2
@@ -63,56 +63,64 @@ def _zncc_core(
     G = centers.shape[0]
 
     n_off = 2 * search + 1
-    offs = jnp.arange(-search, search + 1)
-    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
-    doffs = jnp.stack([dy.reshape(-1), dx.reshape(-1)], axis=1)  # (O, 2)
-    O = doffs.shape[0]
-    # Candidate offsets are streamed in chunks: materialising the full
-    # (B, O, p², 2) gather index tensor is O(21 GB) at a production-size
-    # search (±50 px → O = 101², the widened max_flow_px window) — only a
-    # (B, o_chunk, p²) slab is ever live, while the assembled (B, O)
-    # correlation surface (a few MB) keeps the sub-pixel parabola exact.
-    o_chunk = min(o_chunk, O)
-    o_pad = (-O) % o_chunk
-    doffs_p = jnp.pad(doffs, ((0, o_pad), (0, 0)), mode="edge")
-    n_oc = doffs_p.shape[0] // o_chunk
+    win = patch + 2 * search  # local img1 window per centre
 
     py, px = jnp.meshgrid(
         jnp.arange(-half, patch - half), jnp.arange(-half, patch - half),
         indexing="ij",
     )
     prel = jnp.stack([py.reshape(-1), px.reshape(-1)], axis=1)  # (p², 2)
+    wrel_y = jnp.arange(-half - search, -half - search + win)
+    ones_k = jnp.ones((1, 1, patch, patch), img1.dtype)
+    np2 = float(patch * patch)
 
     def one_block(cblock):
-        # Template vectors from img0: (B, p²).
+        B = cblock.shape[0]
+        # Template vectors from img0: (B, p²), zero-mean unit-norm.
         pos0 = cblock[:, None, :] + prel[None, :, :]
         t = img0[pos0[..., 0], pos0[..., 1]]
         t = t - jnp.mean(t, axis=1, keepdims=True)
         t_norm = jnp.sqrt(jnp.sum(t * t, axis=1, keepdims=True)) + 1e-6
         t = t / t_norm
 
-        def ostep(_, dchunk):
-            # Candidate vectors from img1: (B, Oc, p²).
-            pos1 = (
-                cblock[:, None, None, :]
-                + dchunk[None, :, None, :]
-                + prel[None, None, :, :]
-            )
-            c = img1[pos1[..., 0], pos1[..., 1]]
-            c = c - jnp.mean(c, axis=2, keepdims=True)
-            c_norm = jnp.sqrt(jnp.sum(c * c, axis=2, keepdims=True)) + 1e-6
-            c = c / c_norm
-            # Correlations of the chunk in one batched matmul (MXU).
-            return None, jnp.einsum(
-                "bop,bp->bo", c, t, preferred_element_type=jnp.float32
-            )
+        # Local img1 window per centre: (B, win, win) — contiguous rows,
+        # one bounded gather (the earlier formulation gathered every
+        # candidate patch of every offset independently: a (B, O, p², 2)
+        # index tensor that hit 21 GB at the production ±50 px search and
+        # faulted the TPU worker at exactly the shapes where the fallback
+        # matcher is needed).
+        wy = cblock[:, 0:1] + wrel_y[None, :]  # (B, win)
+        wx = cblock[:, 1:2] + wrel_y[None, :]
+        w1 = img1[wy[:, :, None], wx[:, None, :]]  # (B, win, win)
 
-        _, corr_c = jax.lax.scan(
-            ostep, None, doffs_p.reshape(n_oc, o_chunk, 2)
-        )  # (n_oc, B, Oc)
-        corr = jnp.transpose(corr_c, (1, 0, 2)).reshape(
-            cblock.shape[0], -1
-        )[:, :O]  # (B, O)
+        # All candidate offsets at once as convolutions (MXU path):
+        # numerator: each centre's window correlated with ITS OWN template
+        # — a feature-grouped conv with B groups: input (1, B, win, win),
+        # kernels (B, 1, p, p) -> (1, B, n_off, n_off);
+        # candidate means / energies: box sums with a shared ones kernel.
+        tk = t.reshape(B, 1, patch, patch)
+        num = jax.lax.conv_general_dilated(
+            w1[None], tk, (1, 1), "VALID",
+            feature_group_count=B,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )[0]  # (B, n_off, n_off): sum_p t̂(p) * c(d + p)
+        c_sum = jax.lax.conv_general_dilated(
+            w1[:, None], ones_k, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )[:, 0]  # (B, n_off, n_off)
+        c_sq = jax.lax.conv_general_dilated(
+            (w1 * w1)[:, None], ones_k, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )[:, 0]
+        # ZNCC = t̂ · (c - mean c)/||c - mean c||; t̂ is zero-mean, so the
+        # numerator's mean term vanishes and the candidate norm is
+        # sqrt(Σc² - (Σc)²/p²) — identical math to the per-patch
+        # normalisation, without materialising any candidate patch.
+        c_norm = jnp.sqrt(jnp.maximum(c_sq - c_sum * c_sum / np2, 0.0))
+        corr = (num / (c_norm + 1e-6)).reshape(B, -1)  # (B, O)
         best = jnp.argmax(corr, axis=1)
         score = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
 

@@ -47,6 +47,8 @@ def test_weights_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow  # r5 fast-suite trim: the shipped-weights recovery
+# test covers the trained path fast; this drives the training loop
 def test_training_reduces_coarse_ce():
     """The architecture learns: a short synthetic-homography run must cut
     the coarse matching cross-entropy substantially from random init."""

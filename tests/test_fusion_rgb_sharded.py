@@ -154,6 +154,8 @@ def _rgb_cfg(tmp_path, **extra):
 
 
 @needs_mesh
+@pytest.mark.slow  # r5 fast-suite trim: matches_host_tile[nn_search] keeps
+# the fast-lane RGB-sharded coverage; recovery also asserted by bench.py
 @pytest.mark.parametrize(
     "coarse_only_2d",
     [False, pytest.param(True, marks=pytest.mark.slow)],
@@ -356,6 +358,8 @@ def test_sharded_fusion_rgb_with_superpoint_partitions(rng, tmp_path):
 
 
 @needs_mesh
+@pytest.mark.slow  # r5 fast-suite trim: the driver runs dryrun_multichip
+# (8 virtual devices, full RGB step) every round
 def test_sharded_fusion_rgb_step_8dev_matches_1dev(rng):
     from fusion4landslide_tpu.parallel import (
         make_sharded_fusion3d_step,

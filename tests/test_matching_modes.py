@@ -96,13 +96,57 @@ def test_cross_crop_pairing_finds_large_motion(rng, monkeypatch):
     assert auto.shape[0] > 0
 
 
+def test_zncc_matches_brute_force(rng):
+    """The grouped-conv ZNCC core computes exactly the per-patch
+    zero-normalised correlation: argmax offset and score agree with a
+    direct numpy evaluation over every candidate patch."""
+    import fusion4landslide_tpu.image.matching as M
+
+    h = w = 64
+    img0 = rng.normal(size=(h, w)).astype(np.float32) * 20 + 100
+    img1 = rng.normal(size=(h, w)).astype(np.float32) * 20 + 100
+    patch, search, step = 8, 5, 4
+    centers, fy, fx, score, _tex = (
+        np.asarray(a)
+        for a in M._zncc_core(img0, img1, step, patch, search)
+    )
+    half = patch // 2
+    for i in range(0, len(centers), 7):
+        cy, cx = centers[i]
+        t = img0[cy - half : cy - half + patch,
+                 cx - half : cx - half + patch].reshape(-1)
+        t = t - t.mean()
+        t = t / (np.linalg.norm(t) + 1e-6)
+        surf = np.full((2 * search + 1, 2 * search + 1), -np.inf)
+        for dy in range(-search, search + 1):
+            for dx in range(-search, search + 1):
+                c = img1[cy + dy - half : cy + dy - half + patch,
+                         cx + dx - half : cx + dx - half + patch].reshape(-1)
+                c = c - c.mean()
+                c = c / (np.linalg.norm(c) + 1e-6)
+                surf[dy + search, dx + search] = float(t @ c)
+        best = surf.max()
+        arg = np.unravel_index(surf.argmax(), surf.shape)
+        arg = (arg[0] - search, arg[1] - search)
+        assert abs(score[i] - best) < 1e-4
+        # On pure noise the surface can hold near-ties that float-order
+        # differences flip; only pin the offset when the peak is isolated.
+        second = np.partition(surf.reshape(-1), -2)[-2]
+        if best - second > 1e-3:
+            # The sub-pixel parabola delta is clipped to +-1 px around
+            # the brute-force argmax offset.
+            assert abs(fy[i] - arg[0]) <= 1.0 + 1e-6
+            assert abs(fx[i] - arg[1]) <= 1.0 + 1e-6
+
+
 @pytest.mark.slow
 def test_zncc_production_search_size(rng):
     """The widened ±50 px search at a production 960x1280 crop used to
-    OOM at compile time (a 21.4 GB (B, O, p², 2) gather-index tensor);
-    the offset-chunked scan bounds the live slab. Grid thinned for CPU
-    runtime — the memory shape under test is the (patch², offsets)
-    product, which is production-exact."""
+    OOM at compile time (a 21.4 GB (B, O, p², 2) gather-index tensor) and
+    later fault the tunnelled TPU worker; the grouped-conv core bounds
+    live memory to the (B, win²) windows. Grid thinned for CPU runtime —
+    the memory shape under test is the (patch², offsets) product, which
+    is production-exact."""
     import fusion4landslide_tpu.image.matching as M
 
     h, w = 960, 1280

@@ -68,6 +68,8 @@ def test_dryrun_multichip_entrypoint():
 
 
 @needs_mesh
+@pytest.mark.slow  # r5 fast-suite trim: slow host-pipeline parity +
+# dryrun_multichip cover the sharded f2s3 path
 def test_sharded_f2s3_matches_single_device(rng):
     from fusion4landslide_tpu.parallel import make_sharded_f2s3_step, tile_mesh
 
@@ -220,6 +222,8 @@ def test_sharded_fusion3d_matches_single_device(rng):
 
 
 @needs_mesh
+@pytest.mark.slow  # r5 fast-suite trim: recovery is asserted every bench
+# run; matches_single_device keeps the fast-lane mesh parity
 def test_sharded_fusion3d_recovers_rigid_shift(rng, tmp_path):
     """End-to-end: 8 tiles through run_fusion3d_tiles_sharded on the virtual
     mesh; assigned source points recover the synthetic rigid shift and the

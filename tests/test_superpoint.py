@@ -3,6 +3,7 @@ reference src/superpoint_partition.py:37-162)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from fusion4landslide_tpu.ops.superpoint import (
     generate_superpoint_partition,
@@ -66,6 +67,8 @@ def test_partition_file_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(lab, levels[lv - 1])
 
 
+@pytest.mark.slow  # r5 fast-suite trim: full fusion tile with native
+# partition generation; the artifact contract is covered fast above
 def test_fusion_generates_superpoint_partition(tmp_path, rng):
     """partition_type=superpoint with no files: the fusion tile generates
     the native hierarchy, persists the reference artifact, and runs."""
