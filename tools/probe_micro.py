@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 1_000_000
+    skip_dips = "--skip-dips" in sys.argv[1:]
     from fusion4landslide_tpu.utils.platform import (
         apply_platform_from_env,
         enable_compile_cache,
@@ -89,21 +90,25 @@ def main() -> None:
         f = jax.jit(fn, **kw)
         out = f(*args)
         jax.tree.map(
-            lambda x: np.asarray(x) if hasattr(x, "shape") else x, out
+            lambda x: np.asarray(x[(0,) * x.ndim])
+            if hasattr(x, "shape")
+            else x,
+            out,
         )
         best = float("inf")
         for _ in range(reps):
+            out = None  # drop the previous result before re-allocating
             t0 = time.perf_counter()
             out = f(*args)
             jax.tree.map(
-                lambda x: np.asarray(jnp.ravel(x)[:1])
+                lambda x: np.asarray(x[(0,) * x.ndim])
                 if hasattr(x, "shape")
                 else x,
                 out,
             )
             best = min(best, time.perf_counter() - t0)
         print(f"{name:44s} {best * 1e3:9.1f} ms", flush=True)
-        return f(*args)
+        return out
 
     res = timeit(
         "median_resolution x2",
@@ -134,7 +139,7 @@ def main() -> None:
     chunk = 2048
     patch_points = 256
 
-    if pallas_available():
+    if pallas_available() and not skip_dips:
         grid = timeit(
             "dips: hash-grid build (src support)",
             lambda p, r, m: build_hash_grid(p, r, m),
@@ -171,6 +176,9 @@ def main() -> None:
             ),
             qs, xs, vs, radius, s_nv,
         )
+
+        # Free the ~6.7 GB sampler products before the rest of the probe.
+        del samp, qs, xs, vs, valid, xyz, grid
 
     feat_kw = dict(k_max=512, patch_points=256, chunk=2048, dtype="bfloat16")
     src_feat = timeit(
