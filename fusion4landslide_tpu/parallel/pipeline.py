@@ -415,6 +415,9 @@ def run_fusion3d_tiles_sharded(
         with_sparse=str(cfg.get("assign_type", "assign_then_nn"))
         == "assign_then_nn",
         with_tgt2src=bool(cfg.get("output_tgt2src", False)),
+        # Same config key and default as the host path so mesh on/off
+        # solve identical per-pair match subsets (parity_check).
+        fine_max_matches=int(cfg.get("fine_max_matches", 256)) or (1 << 30),
     )
     with_image = image_kit_fn is not None
     if with_image:

@@ -240,12 +240,13 @@ def aggregate_superpoints(
         ),
     )
     chunk_live = jnp.any(mpc, axis=(1, 2))
-    # 16 cond groups (was 4): live labels are prefix-compacted, so the
-    # real supervoxel count (~4-10x below the cap at production shapes)
-    # occupies the first slots and finer groups skip more dead work —
-    # measured fine 10.4 s -> see BASELINE r5; a per-chunk cond (hundreds
-    # of groups) blew XLA compile ~4x in round 3, 16 stays cheap.
-    gsize = -(-nc // min(16, nc))
+    # 32 cond groups (was 4, then 16): live labels are prefix-compacted,
+    # so the real supervoxel count (~10-20x below the cap at production
+    # shapes) occupies the first slots and finer groups skip more dead
+    # work — at 1M cores one 16th-group still solves ~1.5x the live pairs.
+    # A per-chunk cond (hundreds of groups) blew XLA compile ~4x in round
+    # 3; 32 keeps the cond count bounded.
+    gsize = -(-nc // min(32, nc))
     outs = []
     start = 0
     while start < nc:
@@ -466,12 +467,13 @@ def fine_match_pairs(
     # nested tile maps blew XLA compile time ~4x there).
     f32 = src_vox.dtype
     chunk_live = jnp.any((plc >= 0) & jnp.any(mmc, axis=-1), axis=-1)
-    # 16 cond groups (was 4): live labels are prefix-compacted, so the
-    # real supervoxel count (~4-10x below the cap at production shapes)
-    # occupies the first slots and finer groups skip more dead work —
-    # measured fine 10.4 s -> see BASELINE r5; a per-chunk cond (hundreds
-    # of groups) blew XLA compile ~4x in round 3, 16 stays cheap.
-    gsize = -(-nc // min(16, nc))
+    # 32 cond groups (was 4, then 16): live labels are prefix-compacted,
+    # so the real supervoxel count (~10-20x below the cap at production
+    # shapes) occupies the first slots and finer groups skip more dead
+    # work — at 1M cores one 16th-group still solves ~1.5x the live pairs.
+    # A per-chunk cond (hundreds of groups) blew XLA compile ~4x in round
+    # 3; 32 keeps the cond count bounded.
+    gsize = -(-nc // min(32, nc))
     outs = []
     start = 0
     while start < nc:
@@ -693,6 +695,13 @@ def _fusion_tile_core(
     icp_iter = 30 if bool(cfg.get("icp_refine", True)) else 0
     levels = list(cfg.get("level_of_superpoint", [1, 2, 3]) or [1])
     num_min_fine = int(cfg.get("num_min_fine_match", 10))
+    # Per-pair match subsample for the fine SVD/ICP solve. Default matches
+    # the device step's production setting so mesh on/off solve identical
+    # match sets (tools/parity_check.py measured the old host default of
+    # 1024 vs the mesh's 256 as a ~3 mm pairwise field floor on patches
+    # with >256 matches; the reference solves over ALL matches —
+    # fine_max_matches: 0 disables the cap for reference-exact sets).
+    fine_cap = int(cfg.get("fine_max_matches", 256)) or (1 << 30)
     num_min_quality = int(cfg.get("num_min_matches_for_quality_check", 10))
     thres_dd = float(cfg.get("thres_dist_diff", 0.5))
     thres_ir = float(cfg.get("thres_inlier_ratio", 0.15))
@@ -1282,6 +1291,7 @@ def _fusion_tile_core(
                     icp_threshold=icp_thr,
                     icp_type=icp_type,
                     icp_max_iter=icp_iter,
+                    fine_max_matches=fine_cap,
                     **fine_kw,
                 )
                 fR = np.asarray(fine.R)[:n_pairs]

@@ -41,8 +41,13 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _join_disp(path_a: str, path_b: str):
-    """Join two (x y z x' y' z') DVF tables on exact source coords."""
+def _join_disp(path_a: str, path_b: str, truth_fn=None):
+    """Join two (x y z x' y' z') DVF tables on exact source coords.
+
+    ``truth_fn(xyz) -> (n, 3)`` analytic displacement truth; when given,
+    each path's field error vs truth is returned alongside the pairwise
+    gap (pairwise agreement alone conflates 'the two paths disagree on an
+    ambiguous match' with 'one path degrades the field')."""
     a = np.loadtxt(path_a, ndmin=2, dtype=np.float64)
     b = np.loadtxt(path_b, ndmin=2, dtype=np.float64)
     ka = {r[:3].astype(np.float32).tobytes(): i for i, r in enumerate(a)}
@@ -53,7 +58,14 @@ def _join_disp(path_a: str, path_b: str):
     da = a[ia, 3:6] - a[ia, 0:3]
     db = b[ib, 3:6] - b[ib, 0:3]
     gap = np.linalg.norm(da - db, axis=1)
-    return len(a), len(b), len(common), gap
+    errs = {}
+    if truth_fn is not None:
+        for name, tbl in (("host", a), ("mesh", b)):
+            disp = tbl[:, 3:6] - tbl[:, 0:3]
+            err = np.linalg.norm(disp - truth_fn(tbl[:, 0:3]), axis=1)
+            errs[f"{name}_median_err_vs_truth_m"] = float(np.median(err))
+            errs[f"{name}_frac_err_lt_10mm"] = float((err < 0.01).mean())
+    return len(a), len(b), len(common), gap, errs
 
 
 def main() -> None:
@@ -137,9 +149,19 @@ def main() -> None:
     t_mesh = time.perf_counter() - t0
     print(f"# mesh path: {t_mesh:.1f} s (cold, incl. compile)", file=sys.stderr)
 
-    n_h, n_m, n_common, gap = _join_disp(
+    # Analytic truth of the synthetic tile: the half-plane x > full/2 is
+    # shifted by bench.PLANTED_SHIFT, the rest is static (synth_overlap_tile).
+    side = float(np.sqrt(args.n_core / 100.0))
+    full = side + 2.0 * halo
+
+    def truth_fn(xyz):
+        mov = xyz[:, 0] > full / 2
+        return mov[:, None] * bench.PLANTED_SHIFT.astype(np.float64)
+
+    n_h, n_m, n_common, gap, errs = _join_disp(
         osp.join(workdir, "host", "run", "results", "c2f_dvfs_src2tgt_tile_0.txt"),
         osp.join(workdir, "mesh", "run", "results", "c2f_dvfs_src2tgt_tile_0.txt"),
+        truth_fn=truth_fn,
     )
     result = {
         "n_core": args.n_core,
@@ -152,6 +174,10 @@ def main() -> None:
         "median_delta_disp_m": float(np.median(gap)) if len(gap) else None,
         "p95_delta_disp_m": float(np.quantile(gap, 0.95)) if len(gap) else None,
         "max_delta_disp_m": float(gap.max()) if len(gap) else None,
+        "disagree_frac_gt_10mm": (
+            round(float((gap > 0.01).mean()), 4) if len(gap) else None
+        ),
+        **{k: round(v, 5) for k, v in errs.items()},
         "host_seconds": round(t_host, 1),
         "mesh_seconds_cold": round(t_mesh, 1),
     }
