@@ -567,8 +567,20 @@ def fusion3d_tile_step(
     median_res = jnp.maximum(res_s, res_t)
     radius = jnp.sqrt(3.0) * 10.0 * median_res
 
-    s_cent, s_p2v, _, s_nv = voxel_downsample(src, median_res, smask)
-    t_cent, t_p2v, _, t_nv = voxel_downsample(tgt, median_res, tmask)
+    # Shared grid origin: both clouds are centred by the same tile centre,
+    # so a FIXED origin phase-aligns the two voxel grids. The per-cloud
+    # min-corner default (o3d voxel_down_sample semantics, base:1024)
+    # shifts the grids against each other whenever the src/tgt extents
+    # differ — e.g. under the core/halo query split's asymmetric margins —
+    # which de-correlates static-region centroids (and with them the
+    # exact-geometry descriptor matches) by up to a voxel.
+    grid0 = jnp.zeros((3,), f32)
+    s_cent, s_p2v, _, s_nv = voxel_downsample(
+        src, median_res, smask, origin=grid0
+    )
+    t_cent, t_p2v, _, t_nv = voxel_downsample(
+        tgt, median_res, tmask, origin=grid0
+    )
     vvalid_s = jnp.arange(N) < s_nv
     vvalid_t = jnp.arange(M) < t_nv
 
