@@ -188,13 +188,13 @@ def _aggregate_chunked(
         ),
     )
     chunk_live = jnp.any(mmc_all, axis=(1, 2))
-    # 32 cond groups (was 4, then 16): live labels are prefix-compacted,
-    # so the real supervoxel count (~10-20x below the cap at production
-    # shapes) occupies the first slots and finer groups skip more dead
-    # work — at 1M cores one 16th-group still solves ~1.5x the live pairs.
-    # A per-chunk cond (hundreds of groups) blew XLA compile ~4x in round
-    # 3; 32 keeps the cond count bounded.
-    gsize = -(-nc // min(32, nc))
+    # 16 cond groups (was 4): live labels are prefix-compacted, so the
+    # real supervoxel count (~4-10x below the cap at production shapes)
+    # occupies the first slots and finer groups skip more dead work —
+    # measured fine 10.4 s -> see BASELINE r5. 32 groups were measured to
+    # push the headline program 414 MB past HBM at the 1M-core buckets
+    # (per-group cond branch buffers); 16 is the fitting optimum.
+    gsize = -(-nc // min(16, nc))
     outs = []
     start = 0
     while start < nc:
