@@ -748,14 +748,15 @@ def _fusion_tile_core(
     median_res = max(res_s, res_t)
     _log(f"tile {tile_id}: stage voxel_subsampling (res={median_res:.4f})")
     with timer.stage("voxel_subsampling"):
-        # Fixed grid origin (shared centred frame): phase-aligns the src and
-        # tgt voxel grids — see pipelines/fusion_device.py voxel stage note.
-        grid0 = jnp.zeros((3,), jnp.float32)
+        # Shared grid origin = union min corner of both clouds: phase-aligns
+        # the src and tgt voxel grids, translation-covariantly (identical to
+        # the mesh path's origin — pipelines/fusion_device.py voxel note).
+        grid0 = np.minimum(s.min(axis=0), t.min(axis=0)).astype(np.float32)
         s_cent, s_p2v, s_cnt, s_nv = voxel_downsample(
-            jnp.asarray(s), median_res, origin=grid0
+            jnp.asarray(s), median_res, origin=jnp.asarray(grid0)
         )
         t_cent, t_p2v, t_cnt, t_nv = voxel_downsample(
-            jnp.asarray(t), median_res, origin=grid0
+            jnp.asarray(t), median_res, origin=jnp.asarray(grid0)
         )
     s_nv, t_nv = int(s_nv), int(t_nv)
     src_vox = np.asarray(s_cent)[:s_nv]

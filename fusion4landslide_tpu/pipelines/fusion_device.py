@@ -567,14 +567,21 @@ def fusion3d_tile_step(
     median_res = jnp.maximum(res_s, res_t)
     radius = jnp.sqrt(3.0) * 10.0 * median_res
 
-    # Shared grid origin: both clouds are centred by the same tile centre,
-    # so a FIXED origin phase-aligns the two voxel grids. The per-cloud
-    # min-corner default (o3d voxel_down_sample semantics, base:1024)
-    # shifts the grids against each other whenever the src/tgt extents
-    # differ — e.g. under the core/halo query split's asymmetric margins —
-    # which de-correlates static-region centroids (and with them the
-    # exact-geometry descriptor matches) by up to a voxel.
-    grid0 = jnp.zeros((3,), f32)
+    # Shared grid origin = the union min corner of both clouds: the two
+    # voxel grids share their phase whatever the cloud extents are. The
+    # per-cloud min-corner default (o3d voxel_down_sample semantics,
+    # base:1024) shifts the grids against each other whenever the src/tgt
+    # extents differ — e.g. under the core/halo query split's asymmetric
+    # margins — which de-correlates static-region centroids (and with them
+    # the exact-geometry descriptor matches) by up to a voxel. The union
+    # min (not a fixed constant) keeps the origin translation-covariant,
+    # so differently-centred callers (host vs mesh paths) voxelise
+    # identically.
+    big = jnp.asarray(jnp.inf, f32)
+    grid0 = jnp.minimum(
+        jnp.min(jnp.where(smask[:, None], src, big), axis=0),
+        jnp.min(jnp.where(tmask[:, None], tgt, big), axis=0),
+    )
     s_cent, s_p2v, _, s_nv = voxel_downsample(
         src, median_res, smask, origin=grid0
     )
